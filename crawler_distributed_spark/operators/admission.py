@@ -1,0 +1,130 @@
+"""Outlink admission pipeline: filters → canonicalize → dedup → seen → robots.
+
+The reference re-checks extension/scope filters at four different points
+(enqueue, pre-request, on-response, parse — SURVEY.md §2.2); here the whole
+admission runs exactly once per discovered link, as one declarative plan:
+
+  candidates(raw href, parent_seq, link_idx)
+    → F3 valid / F5 deny / F1+F2 extension+media / F4 scope   [Column exprs, codegen]
+    → C1 canonicalize (pandas UDF, vectorized fast path)
+    → C3 order-stable batch dedup (first occurrence by (parent_seq, link_idx))
+    → C4 unseen (left_anti vs url_seen on (crawl_id, url_norm))
+    → P3 robots gating (broadcast longest-prefix-match join)
+
+Scale notes: the filter conjunction is evaluated before the canonicalize
+UDF, so the Arrow exchange only sees survivors. The seen anti-join keys on
+(crawl_id, url_hash) — at 10^10 both sides are bucketed on url_hash so this
+is a co-partitioned join; the bloom prefilter (seen_filter.py) cuts the
+probe side before the shuffle. Robots rules are a per-host dimension table,
+always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import (
+    canonicalize_udf,
+    denied_col,
+    host_col,
+    media_url_col,
+    skipped_extension_col,
+    valid_url_col,
+)
+
+
+def filter_candidates(candidates: DataFrame) -> DataFrame:
+    """Apply F1-F5 to raw hrefs. Expects columns: crawl_id, raw_url,
+    allowed_host_1, allowed_host_2, parent_seq, link_idx, depth."""
+    raw = F.col("raw_url")
+    host = host_col(raw)
+    return (
+        candidates.where(valid_url_col(raw))
+        .where(~denied_col(raw))
+        .where(~skipped_extension_col(raw))
+        .where(~media_url_col(raw))
+        .where(host.isin(F.col("allowed_host_1"), F.col("allowed_host_2")))
+    )
+
+
+def canonicalize_candidates(filtered: DataFrame) -> DataFrame:
+    return filtered.withColumn("url_norm", canonicalize_udf("raw_url")).withColumn(
+        "host", host_col(F.col("url_norm"))
+    )
+
+
+def dedup_in_batch(canon: DataFrame) -> DataFrame:
+    """C3: first-occurrence-wins per (crawl_id, url_norm), order defined by
+    (parent_seq, link_idx) — the reference's order-preserving dedup
+    (lib/utils/url_utils.py:459-480) expressed as a keyed min-select.
+
+    Implemented as groupBy + min_by struct (partial aggregation map-side)
+    rather than a window, so it shuffles each key once and never sorts."""
+    winner = F.min_by(
+        F.struct("parent_seq", "link_idx", "depth", "raw_url"),
+        F.struct("parent_seq", "link_idx"),
+    ).alias("w")
+    return (
+        canon.groupBy("crawl_id", "url_norm", "host",
+                      "allowed_host_1", "allowed_host_2")
+        .agg(winner)
+        .select(
+            "crawl_id",
+            "url_norm",
+            "host",
+            F.col("w.parent_seq").alias("parent_seq"),
+            F.col("w.link_idx").alias("link_idx"),
+            F.col("w.depth").alias("depth"),
+            F.col("w.raw_url").alias("url"),
+        )
+    )
+
+
+def filter_unseen(deduped: DataFrame, url_seen: DataFrame) -> DataFrame:
+    """C4: drop URLs already in the seen set (exact anti-join backstop)."""
+    return deduped.join(
+        url_seen.select("crawl_id", "url_norm"),
+        on=["crawl_id", "url_norm"],
+        how="left_anti",
+    )
+
+
+def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
+    """P3: longest-prefix-match against the per-host rules table.
+
+    Returns the input plus a boolean ``robots_ok``. Rules are tiny
+    per-host (a handful of prefixes) → broadcast join; the longest
+    matching prefix wins, default allow when no rule matches."""
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]*", ""), r"[?#].*$", ""
+    )
+    r = robots_rules.select(
+        F.col("host").alias("r_host"),
+        F.col("path_prefix"),
+        F.col("allow"),
+    )
+    joined = unseen.withColumn("_path", path).join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.col("_path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    best = F.max_by(
+        F.coalesce(F.col("allow"), F.lit(True)),
+        F.coalesce(F.length("path_prefix"), F.lit(-1)),
+    ).alias("robots_ok")
+    group_cols = [c for c in unseen.columns]
+    return joined.groupBy(*group_cols).agg(best)
+
+
+def admit(
+    candidates: DataFrame, url_seen: DataFrame, robots_rules: DataFrame
+) -> DataFrame:
+    """Full admission pipeline. Output columns: crawl_id, url_norm, host,
+    parent_seq, link_idx, depth, robots_ok."""
+    filtered = filter_candidates(candidates)
+    canon = canonicalize_candidates(filtered)
+    deduped = dedup_in_batch(canon)
+    unseen = filter_unseen(deduped, url_seen)
+    return gate_robots(unseen, robots_rules)

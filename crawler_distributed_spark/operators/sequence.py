@@ -1,0 +1,98 @@
+"""Deterministic, shuffle-scalable global sequence assignment.
+
+The frontier needs a globally-unique, data-defined ``discovery_seq``
+(SURVEY.md §7 risk #1: ordering must be defined by data, never by task
+scheduling). The naive ``row_number() OVER (ORDER BY ...)`` collapses to a
+single partition — fine at test scale, fatal at 10^10 rows. This helper
+implements the classic two-phase assignment instead:
+
+1. range-partition + sort by the (total) order key — one exchange — and
+   cache the result;
+2. a counting pass (mapInPandas) emits each partition's FIRST order key
+   and row count;
+3. the driver orders the (first_key, count) pairs and prefix-sums the
+   counts (one tiny list — #partitions entries);
+4. a stamping pass looks up its partition's offset BY ITS OWN FIRST KEY
+   and writes ``seq = start + offset + local_index``.
+
+Keying the offset table on the partition's first order key (rather than
+``TaskContext.partitionId()``) makes the stamp correct no matter how the
+stamping stage is embedded downstream — unions offset stage partition
+ids, AQE re-plans stages, cache eviction recomputes them — because the
+range-sort puts the same first key in the same logical partition every
+time. Order keys must be unique (caller supplies a tiebreaker column), so
+a first key identifies a partition unambiguously.
+
+Because the order key is total, any range partitioning yields the same
+global order, so the assigned sequence is independent of parallelism —
+the property the N-vs-4N identical-output requirement rests on.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _key_of(pdf: pd.DataFrame, order_cols: list[str]) -> str:
+    first = pdf.iloc[0]
+    return json.dumps([first[c].item() if hasattr(first[c], "item") else first[c]
+                       for c in order_cols])
+
+
+def with_sequence(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 0,
+    seq_col: str = "discovery_seq",
+) -> DataFrame:
+    """Append ``seq_col`` = start, start+1, ... in ascending ``order_cols``
+    order. ``order_cols`` are column NAMES forming a total order (include a
+    unique tiebreaker). Cost: one range exchange + one counting job; no
+    single-partition stage.
+    """
+    sorted_df = df.orderBy(*order_cols).cache()
+
+    def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key, n = None, 0
+        for pdf in batches:
+            if len(pdf) and key is None:
+                key = _key_of(pdf, order_cols)
+            n += len(pdf)
+        if key is not None:
+            yield pd.DataFrame({"first_key": [key], "n": [n]})
+
+    counts = sorted_df.mapInPandas(count_parts, schema="first_key string, n long").collect()
+    # order partitions by their first key (tuples compare elementwise; the
+    # range sort guarantees partition key-ranges are disjoint)
+    parts = sorted(((json.loads(r["first_key"]), r["first_key"], r["n"]) for r in counts),
+                   key=lambda t: t[0])
+    offsets: dict[str, int] = {}
+    acc = 0
+    for _, raw_key, n in parts:
+        offsets[raw_key] = acc
+        acc += n
+
+    schema = T.StructType(
+        list(sorted_df.schema.fields) + [T.StructField(seq_col, T.LongType(), False)]
+    )
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = None
+        local = 0
+        for pdf in batches:
+            if len(pdf) and base is None:
+                base = start + offsets[_key_of(pdf, order_cols)]
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[seq_col] = pd.array(
+                range(base + local, base + local + n) if n else [], dtype="int64"
+            )
+            local += n
+            yield pdf
+
+    return sorted_df.mapInPandas(stamp, schema=schema)

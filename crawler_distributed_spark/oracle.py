@@ -1,0 +1,211 @@
+"""Pure-Python reference-semantics crawl oracle.
+
+A ~200-line single-threaded crawler implementing the reference's BFS
+scheduling semantics (domain_spider.py:157-209,467-548: FIFO frontier +
+seen-set + per-host concurrency + max_pages + retry/backoff) over the
+deterministic synthetic web, made batch-deterministic per policy.py.
+
+The Spark engine (plans/frontier_loop.py) must produce EXACTLY this
+ordering trace and URL-seen set — that is the north-rule correctness gate
+(BASELINE.json: "crawl ordering plus the final URL-seen set must match the
+reference under the same seed list and politeness budget").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import synth
+from .functions.urls import (
+    canonicalize_url,
+    has_skipped_extension,
+    is_denied,
+    is_media_url,
+    is_valid_url,
+)
+from .policy import (
+    PARSEABLE_CONTENT_TYPES,
+    RETRYABLE_STATUSES,
+    CrawlPolicy,
+    order_key,
+)
+
+
+@dataclass
+class _Entry:
+    crawl_id: str
+    url_norm: str
+    host: str
+    depth: int
+    priority_score: float
+    discovery_seq: int
+    attempts: int = 0
+    not_before_batch: int = 0
+
+    def key(self):
+        return (self.depth, -self.priority_score, self.discovery_seq)
+
+
+@dataclass
+class OracleResult:
+    trace: list = field(default_factory=list)   # (crawl_id, batch, seq, url_norm, host, depth)
+    seen: dict = field(default_factory=dict)    # crawl_id -> set[url_norm]
+    robots_blocked: dict = field(default_factory=dict)
+    pages_crawled: dict = field(default_factory=dict)
+    n_batches: int = 0
+
+
+def _host_of_raw(url: str) -> str:
+    # lowercase netloc, default ports stripped (scope check is host-exact)
+    rest = url.split("://", 1)[1] if "://" in url else url
+    host = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0].lower()
+    if host.endswith(":80") or host.endswith(":443"):
+        host = host.rsplit(":", 1)[0]
+    return host
+
+
+def _admissible(raw_url: str, allowed_hosts: tuple[str, str]) -> bool:
+    """F1-F5 on the raw href, in the engine's documented order."""
+    if not is_valid_url(raw_url):
+        return False
+    if is_denied(raw_url):
+        return False
+    if has_skipped_extension(raw_url) or is_media_url(raw_url):
+        return False
+    return _host_of_raw(raw_url) in allowed_hosts
+
+
+def run_oracle(
+    cfg: synth.SynthConfig,
+    seeds: list[dict],
+    policy: CrawlPolicy = CrawlPolicy(),
+) -> OracleResult:
+    res = OracleResult()
+    queued: list[_Entry] = []
+    seen: dict[str, set] = {}
+    blocked: dict[str, set] = {}
+    pages: dict[str, int] = {}
+    max_pages: dict[str, int] = {}
+    allowed: dict[str, tuple[str, str]] = {}
+    next_seq = 0
+
+    # --- seed admission, in sorted-crawl_id order (engine parity)
+    for s in sorted(seeds, key=lambda s: s["crawl_id"]):
+        cid = s["crawl_id"]
+        seen[cid] = set()
+        blocked[cid] = set()
+        pages[cid] = 0
+        max_pages[cid] = s["max_pages"]
+        dom = s["domain"]
+        allowed[cid] = (
+            (dom, dom[4:]) if dom.startswith("www.") else (dom, f"www.{dom}")
+        )
+        seed_url = s["url"] or f"https://{dom}/"
+        un = canonicalize_url(seed_url)
+        if un in seen[cid]:
+            continue
+        seen[cid].add(un)
+        if not synth.robots_allowed(cfg, un):
+            blocked[cid].add(un)
+            continue
+        queued.append(
+            _Entry(cid, un, _host_of_raw(un), 0, 0.0, next_seq)
+        )
+        next_seq += 1
+
+    # --- batch loop
+    batch = 0
+    while batch < policy.max_batches:
+        active = {c for c in pages if pages[c] < max_pages[c]}
+        eligible = [
+            e for e in queued if e.crawl_id in active and e.not_before_batch <= batch
+        ]
+        pending_future = any(
+            e.crawl_id in active and e.not_before_batch > batch for e in queued
+        )
+        if not eligible:
+            if pending_future:
+                batch += 1
+                continue
+            break
+
+        # politeness: per (crawl, host) top-quota in scheduling order
+        by_host: dict[tuple, list[_Entry]] = {}
+        for e in eligible:
+            by_host.setdefault((e.crawl_id, e.host), []).append(e)
+        selected: list[_Entry] = []
+        for grp in by_host.values():
+            grp.sort(key=_Entry.key)
+            selected.extend(grp[: policy.quota_per_host])
+
+        # budget: per crawl top-remaining in scheduling order
+        by_crawl: dict[str, list[_Entry]] = {}
+        for e in selected:
+            by_crawl.setdefault(e.crawl_id, []).append(e)
+        scheduled: list[_Entry] = []
+        for cid, grp in by_crawl.items():
+            grp.sort(key=_Entry.key)
+            scheduled.extend(grp[: max_pages[cid] - pages[cid]])
+
+        scheduled.sort(key=lambda e: (e.crawl_id, e.key()))
+        sched_set = {(e.crawl_id, e.url_norm, e.discovery_seq) for e in scheduled}
+        queued = [
+            e for e in queued if (e.crawl_id, e.url_norm, e.discovery_seq) not in sched_set
+        ]
+
+        # trace + fetch
+        seq_in_batch: dict[str, int] = {}
+        admissions: list[tuple] = []  # (parent_seq, link_idx, crawl_id, raw, depth)
+        for e in scheduled:
+            k = seq_in_batch.get(e.crawl_id, 0) + 1
+            seq_in_batch[e.crawl_id] = k
+            res.trace.append((e.crawl_id, batch, k, e.url_norm, e.host, e.depth))
+
+            st = synth.status_of(cfg, e.url_norm)
+            ct = synth.content_type_of(cfg, e.url_norm)
+            if st == 200 and ct in PARSEABLE_CONTENT_TYPES:
+                pages[e.crawl_id] += 1
+                for idx, raw in enumerate(synth.outlinks_of(cfg, e.url_norm)):
+                    admissions.append(
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1)
+                    )
+            elif st == 301:
+                redirs = synth.outlinks_of(cfg, e.url_norm)
+                if redirs:
+                    admissions.append(
+                        (e.discovery_seq, 0, e.crawl_id, redirs[0], e.depth)
+                    )
+            elif st in RETRYABLE_STATUSES:
+                attempts = e.attempts + 1
+                if attempts <= policy.max_attempts:
+                    e.attempts = attempts
+                    e.not_before_batch = batch + policy.backoff(attempts)
+                    queued.append(e)
+            # 200 non-parseable / fatal statuses: terminal, nothing admitted
+
+        # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
+        admissions.sort(key=lambda a: (a[0], a[1]))
+        admitted_in_batch: set[tuple] = set()
+        for parent_seq, idx, cid, raw, depth in admissions:
+            if pages[cid] >= max_pages[cid]:
+                continue
+            if not _admissible(raw, allowed[cid]):
+                continue
+            un = canonicalize_url(raw)
+            if (cid, un) in admitted_in_batch or un in seen[cid]:
+                continue
+            admitted_in_batch.add((cid, un))
+            seen[cid].add(un)
+            if not synth.robots_allowed(cfg, un):
+                blocked[cid].add(un)
+                continue
+            queued.append(_Entry(cid, un, _host_of_raw(un), depth, 0.0, next_seq))
+            next_seq += 1
+
+        batch += 1
+
+    res.seen = seen
+    res.robots_blocked = blocked
+    res.pages_crawled = pages
+    res.n_batches = batch
+    return res

@@ -1,0 +1,56 @@
+"""Crawl policy — the single definition of scheduling semantics.
+
+Both the pure-Python oracle (tests/oracle parity) and the Spark engine
+import these constants/functions, so there is exactly one place where the
+reference's behavior is encoded:
+
+- per-host politeness quota        ~ CONCURRENT_REQUESTS_PER_DOMAIN=4
+                                     (crawler/spider_project/settings.py:46-48)
+- retry/backoff discipline         ~ lib/queue/queue_manager.py:405-466
+                                     (delay min(cap, base·2^retries), max 3 retries then bury)
+- retryable status split           ~ middlewares/retry_middleware.py:33-55
+- max_pages stop condition         ~ domain_spider.py:67-70, settings.py:75-76
+- BFS ordering key                 ~ FIFO deque (domain_spider.py:157-209) made
+                                     deterministic as (depth, -priority_score, discovery_seq)
+
+Deliberate determinism substitutions vs the reference (SURVEY.md §4):
+retry jitter dropped, wall-clock recency frozen, the +2 max_pages slack
+dropped, random UA irrelevant to scheduling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+RETRYABLE_STATUSES = frozenset({408, 429, 500, 502, 503, 504})
+FATAL_STATUSES = frozenset({403, 404})
+HTML_CONTENT_TYPES = frozenset(
+    {"text/html", "application/xhtml+xml", "application/xml", "text/plain"}
+)
+# content types the parse stage accepts (F6, content_filter_middleware.py:43-51);
+# of these only text/html produces spans+outlinks in the synthetic web
+PARSEABLE_CONTENT_TYPES = frozenset({"text/html"})
+
+
+@dataclass(frozen=True)
+class CrawlPolicy:
+    quota_per_host: int = 4      # scheduled fetches per (crawl, host) per batch
+    max_attempts: int = 3        # retries before a URL is buried as failed
+    backoff_cap: int = 8         # batches; delay = min(2^attempts, cap)
+    max_batches: int = 10_000    # hard loop guard
+    n_salts: int = 4             # skew salting width for the politeness stage
+
+    def backoff(self, attempts: int) -> int:
+        """Batches to wait before the next attempt (attempts >= 1)."""
+        return min(2**attempts, self.backoff_cap)
+
+
+# the deterministic scheduling order (SURVEY.md §2.4 Q5): lower depth first,
+# higher priority first, earlier discovery first. discovery_seq is globally
+# unique so this is a total order.
+ORDER_KEY_COLS = ("depth", "priority_score", "discovery_seq")
+
+
+def order_key(entry: dict) -> tuple:
+    """Python-side sort key matching ORDER_BY depth ASC, priority DESC, seq ASC."""
+    return (entry["depth"], -entry["priority_score"], entry["discovery_seq"])

@@ -1,0 +1,313 @@
+"""Deterministic synthetic web — the fetch oracle (FIXTURES.md §3).
+
+Every property of the web (page set, statuses, content types, outlinks,
+robots rules, spans) is a pure function of ``(config, url_norm)`` via a
+seeded stable hash, so any process — the pure-Python oracle, a Spark
+executor inside an Arrow UDF, the bench at 10^6+ URLs — regenerates
+identical content with no shared state and no I/O. This replaces the
+reference's live HTTP fetch (crawler/spider_project/spiders/base_spider.py:101-149)
+with a deterministic stand-in, as required for trace-equality testing.
+
+URL space:
+  host j           -> https://h{j:03d}.example.com
+  page (j, i)      -> https://{host}/p/{i}       (or /private/p/{i}, robots-blocked)
+  homepage         -> https://{host}/
+Host 0 is the hot host (``hot_factor`` × the pages) to exercise skew
+handling. Outlinks are deliberately dirty — tracking params, fragments,
+uppercase hosts, dot-segments, off-domain, media extensions, deny
+patterns — to exercise the full admission pipeline (F1–F5 + C1–C3).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+from .functions.urls import url_fingerprint
+
+STATUS_RETRYABLE = frozenset({429, 500, 502, 503, 504})
+STATUS_FATAL = frozenset({403, 404})
+
+_VOCAB = (
+    "crawl frontier spark batch queue host page link fetch parse span text "
+    "media robots sitemap depth priority seed hash filter dedup admit commit"
+).split()
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    seed: int = 42
+    n_hosts: int = 20
+    pages_base: int = 60
+    hot_factor: int = 10
+    branching: int = 8
+
+    def n_pages(self, j: int) -> int:
+        return self.pages_base * (self.hot_factor if j == 0 else 1)
+
+
+def _h(*parts) -> int:
+    """Stable 32-bit hash of the joined parts (crc32: fast, stdlib, stable)."""
+    return zlib.crc32("|".join(str(p) for p in parts).encode("utf-8"))
+
+
+def host_name(j: int) -> str:
+    return f"h{j:03d}.example.com"
+
+
+def page_is_private(cfg: SynthConfig, j: int, i: int) -> bool:
+    return _h(cfg.seed, "priv", j, i) % 13 == 0
+
+
+def page_url(cfg: SynthConfig, j: int, i: int) -> str:
+    prefix = "/private" if page_is_private(cfg, j, i) else ""
+    return f"https://{host_name(j)}{prefix}/p/{i}"
+
+
+def parse_page_url(cfg: SynthConfig, url_norm: str):
+    """Inverse of page_url over canonical URLs. Returns (j, i) or None
+    (None also for homepages and any non-page URL)."""
+    if not url_norm.startswith("https://h"):
+        return None
+    rest = url_norm[8:]
+    try:
+        host, _, path = rest.partition("/")
+        if not host.endswith(".example.com"):
+            return None
+        j = int(host[1:4])
+        path = "/" + path
+        if path.startswith("/private/p/"):
+            i = int(path[len("/private/p/"):])
+        elif path.startswith("/p/"):
+            i = int(path[len("/p/"):])
+        else:
+            return None
+        if j >= cfg.n_hosts or i >= cfg.n_pages(j):
+            return None
+        # the private-ness must match, else the URL names a 404 variant
+        if page_is_private(cfg, j, i) != path.startswith("/private/"):
+            return None
+        return (j, i)
+    except (ValueError, IndexError):
+        return None
+
+
+def is_homepage(cfg: SynthConfig, url_norm: str):
+    """Returns host index j if url_norm is a known homepage, else None."""
+    for_scheme = url_norm.removeprefix("https://")
+    if for_scheme == url_norm:
+        return None
+    host, _, path = for_scheme.partition("/")
+    if path == "" and host.startswith("h") and host.endswith(".example.com"):
+        try:
+            j = int(host[1:4])
+        except ValueError:
+            return None
+        if 0 <= j < cfg.n_hosts:
+            return j
+    return None
+
+
+def status_of(cfg: SynthConfig, url_norm: str) -> int:
+    """HTTP status for a URL. Homepages always 200; unknown URLs 404."""
+    if is_homepage(cfg, url_norm) is not None:
+        return 200
+    ji = parse_page_url(cfg, url_norm)
+    if ji is None:
+        return 404
+    x = _h(cfg.seed, "status", url_norm) % 100
+    if x < 85:
+        return 200
+    if x < 88:
+        return 301
+    if x < 90:
+        return 403
+    if x < 92:
+        return 404
+    if x < 94:
+        return 429
+    if x < 97:
+        return 500
+    return 503
+
+
+def content_type_of(cfg: SynthConfig, url_norm: str) -> str:
+    if is_homepage(cfg, url_norm) is not None:
+        return "text/html"
+    y = _h(cfg.seed, "ctype", url_norm) % 100
+    if y < 92:
+        return "text/html"
+    if y < 95:
+        return "application/xml"
+    if y < 98:
+        return "image/png"
+    return "text/plain"
+
+
+def robots_allowed(cfg: SynthConfig, url_norm: str) -> bool:
+    """Single global rule: /private/ is disallowed on every host."""
+    rest = url_norm.removeprefix("https://")
+    _, _, path = rest.partition("/")
+    return not ("/" + path).startswith("/private/")
+
+
+def _dirty_href(cfg: SynthConfig, j: int, i: int, b: int, target_url: str) -> str:
+    """Wrap a clean target URL in one of several dirty encodings; all
+    canonicalize back to target_url (or get filtered)."""
+    style = _h(cfg.seed, "style", j, i, b) % 10
+    if style <= 3:
+        return target_url
+    if style == 4:
+        return target_url + "?utm_source=feed&utm_campaign=x"
+    if style == 5:
+        return target_url + "#section-2"
+    if style == 6:
+        scheme, rest = target_url.split("://", 1)
+        host, _, path = rest.partition("/")
+        return f"{scheme.upper()}://{host.upper()}/{path}"
+    if style == 7:
+        # redundant dot-segment: /p/<i> -> /p/./<i>
+        return target_url.replace("/p/", "/p/./", 1)
+    if style == 8:
+        return target_url + "?ref=sidebar"  # tracking param, stripped by C1
+    return target_url + "?id=7&utm_medium=mail"  # id kept, utm stripped
+
+
+def outlinks_of(cfg: SynthConfig, url_norm: str) -> list[str]:
+    """Raw (un-normalized) hrefs on a page. Empty unless status 200 html
+    or 301 (redirect target as the single link)."""
+    hp = is_homepage(cfg, url_norm)
+    if hp is not None:
+        n = cfg.n_pages(hp)
+        return [page_url(cfg, hp, i) for i in range(min(2 * cfg.branching, n))]
+    ji = parse_page_url(cfg, url_norm)
+    if ji is None:
+        return []
+    j, i = ji
+    st = status_of(cfg, url_norm)
+    if st == 301:
+        return [page_url(cfg, j, (i * 7 + 1) % cfg.n_pages(j))]
+    if st != 200 or content_type_of(cfg, url_norm) != "text/html":
+        return []
+    links: list[str] = []
+    n = cfg.n_pages(j)
+    host = host_name(j)
+    for b in range(cfg.branching):
+        kind = _h(cfg.seed, "lkind", j, i, b) % 10
+        t = _h(cfg.seed, "child", j, i, b) % n
+        if kind < 6:  # in-domain page link, possibly dirty
+            links.append(_dirty_href(cfg, j, i, b, page_url(cfg, j, t)))
+        elif kind == 6:  # cross-host (off-domain, filtered by scoping)
+            oj = (j + 1 + _h(cfg.seed, "xhost", j, i, b) % 3) % cfg.n_hosts
+            links.append(page_url(cfg, oj, t % cfg.n_pages(oj)))
+        elif kind == 7:  # media asset (filtered by F1/F2)
+            links.append(f"https://{host}/img/{t}.png")
+        elif kind == 8:  # deny pattern (filtered by F5)
+            links.append(f"https://{host}/tag/x{t}/")
+        else:  # invalid (filtered by F3)
+            links.append(f"javascript:void({t})")
+    return links
+
+
+def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
+    """Interleaved span array for a fetched html page: list of
+    (kind, text, media_ref, offset), offset strictly increasing.
+    Deterministic per URL; this is the engine's parse ground truth."""
+    st = status_of(cfg, url_norm)
+    if st != 200 or content_type_of(cfg, url_norm) != "text/html":
+        return []
+    links = outlinks_of(cfg, url_norm)
+    n_spans = 4 + _h(cfg.seed, "nspan", url_norm) % 8
+    spans: list[tuple] = []
+    offset = 0
+    title_words = [
+        _VOCAB[_h(cfg.seed, "tw", url_norm, w) % len(_VOCAB)] for w in range(3)
+    ]
+    title = " ".join(title_words)
+    spans.append(("title", title, None, offset))
+    offset += len(title) + 1
+    li = 0
+    for k in range(n_spans):
+        sel = _h(cfg.seed, "skind", url_norm, k) % 10
+        if sel < 4:
+            words = [
+                _VOCAB[_h(cfg.seed, "w", url_norm, k, w) % len(_VOCAB)]
+                for w in range(5 + _h(cfg.seed, "nw", url_norm, k) % 10)
+            ]
+            text = " ".join(words)
+            spans.append(("text", text, None, offset))
+            offset += len(text) + 1
+        elif sel < 6:
+            text = "h: " + _VOCAB[_h(cfg.seed, "hw", url_norm, k) % len(_VOCAB)]
+            spans.append(("heading", text, None, offset))
+            offset += len(text) + 1
+        elif sel < 8 and li < len(links):
+            anchor = _VOCAB[_h(cfg.seed, "aw", url_norm, k) % len(_VOCAB)]
+            spans.append(("link", anchor, links[li], offset))
+            offset += len(anchor) + 1
+            li += 1
+        elif sel == 8:
+            ref = f"https://{url_norm.split('/')[2]}/img/{k}.png"
+            spans.append(("image", None, ref, offset))
+            offset += 1
+        else:
+            spans.append(("meta", "robots: index,follow", None, offset))
+            offset += 22
+    return spans
+
+
+def doc_id_of(url_norm: str) -> str:
+    """doc_id = fingerprint hex of the canonical URL (FIXTURES.md §1)."""
+    return url_fingerprint(url_norm)
+
+
+def fetch_one(cfg: SynthConfig, url_norm: str) -> dict:
+    """The full deterministic fetch result for one canonical URL."""
+    st = status_of(cfg, url_norm)
+    ct = content_type_of(cfg, url_norm)
+    html = st == 200 and ct == "text/html"
+    return {
+        "url_norm": url_norm,
+        "status": st,
+        "content_type": ct,
+        "doc_id": doc_id_of(url_norm) if html else None,
+        "outlinks": outlinks_of(cfg, url_norm),
+        "robots_allowed": robots_allowed(cfg, url_norm),
+        "latency_class": _h(cfg.seed, "lat", url_norm) % 4,
+    }
+
+
+def all_urls(cfg: SynthConfig) -> list[str]:
+    """Every canonical URL in the web (homepages + pages)."""
+    urls = []
+    for j in range(cfg.n_hosts):
+        urls.append(f"https://{host_name(j)}/")
+        urls.extend(page_url(cfg, j, i) for i in range(cfg.n_pages(j)))
+    return urls
+
+
+def seed_rows(cfg: SynthConfig, n_crawls: int | None = None, max_pages: int = 25):
+    """Seed-list rows (schemas.SEEDS): one crawl per host, reference-style
+    (one domain per crawl job, crawler/scripts/submit_crawl_job.py:120-150)."""
+    n = n_crawls if n_crawls is not None else cfg.n_hosts
+    return [
+        {
+            "crawl_id": f"crawl-{j:03d}",
+            "domain": host_name(j),
+            "url": None,
+            "max_pages": max_pages,
+            "single_url": False,
+            "use_sitemap": False,
+            "priority": 0,
+            "project_id": "synth",
+        }
+        for j in range(n)
+    ]
+
+
+def robots_rule_rows(cfg: SynthConfig):
+    rows = []
+    for j in range(cfg.n_hosts):
+        rows.append({"host": host_name(j), "path_prefix": "/private/", "allow": False})
+        rows.append({"host": host_name(j), "path_prefix": "/", "allow": True})
+    return rows

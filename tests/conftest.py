@@ -1,0 +1,9 @@
+import pytest
+
+from crawler_distributed_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    yield s

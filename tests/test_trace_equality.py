@@ -1,0 +1,109 @@
+"""The north-rule correctness gate: engine vs pure-Python oracle.
+
+Asserts (BASELINE.json): identical crawl-ordering trace, identical final
+URL-seen set, span-sequence equality per doc_id, and exact resume from a
+mid-crawl checkpoint kill.
+"""
+
+import pytest
+
+from crawler_distributed_spark import synth
+from crawler_distributed_spark.oracle import run_oracle
+from crawler_distributed_spark.plans.frontier_loop import run_crawl
+from crawler_distributed_spark.policy import CrawlPolicy
+
+CFG = synth.SynthConfig(n_hosts=3, pages_base=12, hot_factor=3, branching=4)
+SEEDS = synth.seed_rows(CFG, max_pages=8)
+POLICY = CrawlPolicy()
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return run_oracle(CFG, SEEDS, POLICY)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    return run_crawl(spark, CFG, SEEDS, robots, d, POLICY)
+
+
+def _engine_trace(spark, res):
+    return sorted(
+        (
+            (r.crawl_id, r.batch_id, r.seq_in_batch, r.url_norm, r.host, r.depth)
+            for r in res.trace(spark).collect()
+        ),
+        key=lambda t: (t[1], t[0], t[2]),
+    )
+
+
+def test_trace_equality(spark, engine_result, oracle_result):
+    engine = _engine_trace(spark, engine_result)
+    oracle = sorted(oracle_result.trace, key=lambda t: (t[1], t[0], t[2]))
+    assert engine == oracle
+
+
+def test_seen_set_equality(spark, engine_result, oracle_result):
+    seen = {}
+    for r in engine_result.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle_result.seen
+
+
+def test_robots_blocked_equality(spark, engine_result, oracle_result):
+    blocked = {}
+    for r in engine_result.blocked(spark).collect():
+        blocked.setdefault(r.crawl_id, set()).add(r.url_norm)
+    want = {c: s for c, s in oracle_result.robots_blocked.items() if s}
+    assert blocked == want
+
+
+def test_pages_crawled_equality(engine_result, oracle_result):
+    assert engine_result.pages_crawled == oracle_result.pages_crawled
+
+
+def test_span_sequence_equality(spark, engine_result):
+    """Per-row invariant (BASELINE.json input_hint): the (kind, text,
+    media_ref, order) sequence per doc_id equals the synthetic ground
+    truth, order = array position, offsets strictly increasing."""
+    docs = engine_result.docs(spark)
+    assert docs is not None
+    rows = docs.select("url_norm", "doc_id", "spans").collect()
+    assert rows
+    for r in rows:
+        want = synth.spans_of(CFG, r.url_norm)
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        assert got == want, r.url_norm
+        offsets = [s.offset for s in r.spans]
+        assert offsets == sorted(offsets)
+        assert len(set(offsets)) == len(offsets)
+        assert r.doc_id == synth.doc_id_of(r.url_norm)
+
+
+def test_lineage_recorded(spark, engine_result):
+    lin = engine_result.lineage(spark)
+    assert lin is not None
+    rows = lin.collect()
+    assert rows
+    assert {r.batch_id for r in rows}  # per-batch, per-partition rows exist
+    assert all(r.rows_fetched >= 0 for r in rows)
+
+
+def test_resume_from_checkpoint(spark, tmp_path, oracle_result):
+    """Kill after batch 1, resume, and require bit-identical final state
+    (north rule: 'a killed job resumes exactly')."""
+    d = str(tmp_path / "ckpt")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    partial = run_crawl(spark, CFG, SEEDS, robots, d, POLICY, stop_after_batch=1)
+    assert partial.last_batch == 1
+    res = run_crawl(spark, CFG, SEEDS, robots, d, POLICY, resume=True)
+
+    engine = _engine_trace(spark, res)
+    oracle = sorted(oracle_result.trace, key=lambda t: (t[1], t[0], t[2]))
+    assert engine == oracle
+    seen = {}
+    for r in res.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle_result.seen
