@@ -93,29 +93,35 @@ def filter_unseen(deduped: DataFrame, url_seen: DataFrame) -> DataFrame:
 def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
     """P3: longest-prefix-match against the per-host rules table.
 
-    Returns the input plus a boolean ``robots_ok``. Rules are tiny
-    per-host (a handful of prefixes) → broadcast join; the longest
-    matching prefix wins, default allow when no rule matches."""
+    Returns the input plus a boolean ``robots_ok``; longest matching
+    prefix wins, default allow when no rule matches.
+
+    Implementation: rules are pre-aggregated to one array per host (tiny
+    dimension), broadcast-joined, and the longest-prefix pick runs as a
+    higher-order-function fold over that array — a single broadcast hash
+    join with NO shuffle and NO re-aggregation of the candidate side,
+    which matters when candidates are 10^8 per batch."""
     path = F.regexp_replace(
         F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]*", ""), r"[?#].*$", ""
     )
-    r = robots_rules.select(
-        F.col("host").alias("r_host"),
-        F.col("path_prefix"),
-        F.col("allow"),
+    per_host = robots_rules.groupBy(F.col("host").alias("r_host")).agg(
+        F.collect_list(F.struct("path_prefix", "allow")).alias("_rules")
     )
     joined = unseen.withColumn("_path", path).join(
-        F.broadcast(r),
-        (F.col("host") == F.col("r_host"))
-        & F.col("_path").startswith(F.col("path_prefix")),
-        "left",
+        F.broadcast(per_host), F.col("host") == F.col("r_host"), "left"
     )
-    best = F.max_by(
-        F.coalesce(F.col("allow"), F.lit(True)),
-        F.coalesce(F.length("path_prefix"), F.lit(-1)),
-    ).alias("robots_ok")
-    group_cols = [c for c in unseen.columns]
-    return joined.groupBy(*group_cols).agg(best)
+    best = F.expr(
+        """
+        aggregate(
+          filter(coalesce(_rules, array()), r -> startswith(_path, r.path_prefix)),
+          named_struct('len', -1, 'allow', true),
+          (acc, r) -> IF(length(r.path_prefix) > acc.len,
+                         named_struct('len', length(r.path_prefix), 'allow', r.allow),
+                         acc)
+        ).allow
+        """
+    )
+    return joined.withColumn("robots_ok", best).drop("_path", "r_host", "_rules")
 
 
 def admit(

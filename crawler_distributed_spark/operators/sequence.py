@@ -49,11 +49,14 @@ def with_sequence(
     order_cols: list[str],
     start: int = 0,
     seq_col: str = "discovery_seq",
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Append ``seq_col`` = start, start+1, ... in ascending ``order_cols``
     order. ``order_cols`` are column NAMES forming a total order (include a
     unique tiebreaker). Cost: one range exchange + one counting job; no
     single-partition stage.
+
+    Returns (stamped_df, total_rows) — the count falls out of the counting
+    pass for free, so callers never re-count.
     """
     sorted_df = df.orderBy(*order_cols).cache()
 
@@ -95,4 +98,4 @@ def with_sequence(
             local += n
             yield pdf
 
-    return sorted_df.mapInPandas(stamp, schema=schema)
+    return sorted_df.mapInPandas(stamp, schema=schema), acc

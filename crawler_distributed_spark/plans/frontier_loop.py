@@ -6,30 +6,36 @@ plan per micro-batch:
 
   schedule (politeness top-q + budget cap)
     → fetch (Arrow UDF over the synthetic web)
-    → trace / docs / metrics out
-    → retry re-queue (backoff in batches)
     → outlink admission (filters → canonicalize → dedup → seen anti-join
        → robots gate) → discovery_seq assignment → frontier insert
     → atomic checkpoint commit (storage.BatchStore)
 
-Every batch commits per-partition lineage + metrics and the full frontier /
-seen-delta state; a killed job resumes from the last committed manifest
-(north rule resumability). The loop's outputs (ordering trace + final seen
-set) are asserted equal to the pure-Python oracle in tests.
+Performance shape (local[32] now, 1000 executors later):
+- Working state (frontier, seen) lives in eagerly localCheckpoint'ed
+  DataFrames — per-batch plans stay O(batch), never re-read or re-derive
+  grown state; parquet is the durable copy, written per batch (outputs)
+  or per `checkpoint_every` batches (mutable state).
+- Two durable outputs per batch — `fetched` (trace/docs/metrics are
+  projections of it) and `admitted` (seen/blocked are projections) —
+  instead of seven small writes.
+- Idle backoff gaps are jumped in one step (batch -> min not_before)
+  rather than committed as empty batches; the oracle's batch numbering is
+  preserved because nothing observable happens in the gap.
+- Every batch appends per-partition lineage + metrics (north rule), and a
+  killed job resumes exactly: deterministic replay from the last durable
+  manifest reproduces bit-identical outputs (tests/test_trace_equality.py).
 """
 
 from __future__ import annotations
 
 import datetime
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .. import synth
-from ..functions.urls import canonicalize_url, fingerprint_udf
+from ..functions.urls import canonicalize_url
 from ..operators.admission import admit, dedup_in_batch, filter_unseen, gate_robots
 from ..operators.fetch import fetch_scheduled
 from ..operators.politeness import select_fetch_batch
@@ -45,6 +51,9 @@ _FRONTIER_COLS = [
 _RETRYABLE_LIST = sorted(RETRYABLE_STATUSES)
 _PARSEABLE_LIST = sorted(PARSEABLE_CONTENT_TYPES)
 
+def _is_page():
+    return (F.col("status") == 200) & F.col("content_type").isin(_PARSEABLE_LIST)
+
 
 @dataclass
 class CrawlRunResult:
@@ -52,17 +61,50 @@ class CrawlRunResult:
     last_batch: int
     pages_crawled: dict
 
+    def _fetched(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_appendonly(spark, self.last_batch, "fetched")
+
+    def _admitted(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_appendonly(spark, self.last_batch, "admitted")
+
     def trace(self, spark: SparkSession) -> DataFrame:
-        return self.store.read_appendonly(spark, self.last_batch, "trace")
+        f = self._fetched(spark)
+        return f.select(
+            "crawl_id", "batch_id", "seq_in_batch", "url_norm", "host", "depth"
+        )
 
     def seen(self, spark: SparkSession) -> DataFrame:
-        return self.store.read_appendonly(spark, self.last_batch, "seen")
+        a = self._admitted(spark)
+        return a.select("crawl_id", "url_hash", "url_norm", "first_seen_batch")
 
     def docs(self, spark: SparkSession) -> DataFrame | None:
-        return self.store.read_appendonly(spark, self.last_batch, "docs")
+        f = self._fetched(spark)
+        if f is None:
+            return None
+        return f.where(_is_page()).select(
+            "crawl_id", "url_norm", "url_hash", "host", "depth", "status",
+            "content_type", "doc_id", "spans",
+            F.col("batch_id").alias("fetched_in_batch"),
+        )
 
     def blocked(self, spark: SparkSession) -> DataFrame | None:
-        return self.store.read_appendonly(spark, self.last_batch, "blocked")
+        a = self._admitted(spark)
+        if a is None:
+            return None
+        return a.where(~F.col("robots_ok")).select(
+            "crawl_id", "url_norm", F.col("first_seen_batch").alias("batch_id")
+        )
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        f = self._fetched(spark)
+        if f is None:
+            return None
+        return f.groupBy("crawl_id", "batch_id", "host").agg(
+            F.count("*").alias("requests"),
+            F.sum(_is_page().cast("long")).alias("successes"),
+            F.sum((F.col("status") >= 400).cast("long")).alias("failures"),
+            F.sum(F.when(_is_page(), F.size("spans")).otherwise(0)).cast("long").alias("bytes"),
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_appendonly(spark, self.last_batch, "lineage")
@@ -81,13 +123,19 @@ def _crawl_dim(spark: SparkSession, seeds: list[dict]) -> DataFrame:
 
 
 def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
-    """Admitted candidates (with discovery_seq) → FRONTIER-schema rows."""
+    """Admitted candidates (with discovery_seq) → FRONTIER-schema rows.
+
+    url_fp is computed JVM-side as sha2(url_norm): for canonical URLs
+    without path-;params the reference's fingerprint string
+    (lib/utils/url_utils.py:186-190) IS the canonical URL, so this equals
+    functions.urls.url_fingerprint(url_norm) on the crawl's URL space
+    (property-tested) while keeping the hot loop free of Python."""
     return admitted_ok.select(
         "crawl_id",
         "url",
         "url_norm",
         F.xxhash64("url_norm").alias("url_hash"),
-        fingerprint_udf("url_norm").alias("url_fp"),
+        F.sha2(F.col("url_norm"), 256).alias("url_fp"),
         "host",
         F.col("depth").cast("int").alias("depth"),
         F.lit(0.0).alias("priority_score"),
@@ -98,15 +146,26 @@ def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
     )
 
 
+def _admitted_out(admitted: DataFrame, batch_id: int) -> DataFrame:
+    """Durable ``admitted`` rows: the seen-set delta + robots verdicts."""
+    return admitted.select(
+        "crawl_id",
+        F.xxhash64("url_norm").alias("url_hash"),
+        "url_norm",
+        F.lit(batch_id).cast("long").alias("first_seen_batch"),
+        "robots_ok",
+    )
+
+
 def init_crawl(
     spark: SparkSession,
     seeds: list[dict],
     robots_rules: DataFrame,
     store: BatchStore,
-) -> None:
+) -> tuple[DataFrame, DataFrame, int]:
     """Seed admission, committed as batch=-1 (reference: start_urls are
     enqueued unfiltered, domain_spider.py:219-265; robots gating still
-    applies per north rule)."""
+    applies per north rule). Returns (frontier_df, seen_df, next_seq)."""
     ordered = sorted(seeds, key=lambda s: s["crawl_id"])
     rows = []
     for idx, s in enumerate(ordered):
@@ -124,36 +183,24 @@ def init_crawl(
         .withColumn("allowed_host_2", F.lit(None).cast("string"))
     )
     unseen = filter_unseen(deduped, empty_seen)
-    admitted = gate_robots(unseen, robots_rules).cache()
+    admitted = gate_robots(unseen, robots_rules).localCheckpoint()
 
-    queued = with_sequence(
+    queued, n_queued = with_sequence(
         admitted.where("robots_ok").drop("robots_ok"),
         ["parent_seq", "link_idx"],
         start=0,
     )
-    frontier = _finish_frontier_rows(queued)
-    n_queued = frontier.count()
-
-    seen_delta = admitted.select(
-        "crawl_id",
-        F.xxhash64("url_norm").alias("url_hash"),
-        "url_norm",
-        F.lit(-1).cast("long").alias("first_seen_batch"),
-    )
-    blocked = admitted.where(~F.col("robots_ok")).select(
-        "crawl_id", "url_norm", F.lit(-1).cast("long").alias("batch_id")
-    )
+    frontier = _finish_frontier_rows(queued).localCheckpoint()
+    admitted_rows = _admitted_out(admitted, -1).localCheckpoint()
 
     store.write_table(frontier, -1, "frontier")
-    store.write_table(seen_delta, -1, "seen")
-    store.write_table(blocked, -1, "blocked")
+    store.write_table(admitted_rows, -1, "admitted")
     store.commit(
         -1,
-        {
-            "next_seq": int(n_queued),
-            "pages": {s["crawl_id"]: 0 for s in ordered},
-        },
+        {"next_seq": int(n_queued), "pages": {s["crawl_id"]: 0 for s in ordered}},
     )
+    seen = admitted_rows.select("crawl_id", "url_norm")
+    return frontier, seen, int(n_queued)
 
 
 def run_crawl(
@@ -167,74 +214,72 @@ def run_crawl(
     stop_after_batch: int | None = None,
 ) -> CrawlRunResult:
     """Run (or resume) the crawl to completion. ``stop_after_batch`` kills
-    the loop after committing that batch — used by the resume tests."""
+    the loop right after committing that batch — used by the resume tests."""
     store = BatchStore(checkpoint_dir)
     store.rollback_uncommitted()
     last = store.last_committed()
     if not resume or last is None:
         if last is not None:
-            raise ValueError(f"checkpoint {checkpoint_dir} already has state; pass resume=True")
-        init_crawl(spark, seeds, robots_rules, store)
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} already has state; pass resume=True"
+            )
+        frontier, seen, next_seq = init_crawl(spark, seeds, robots_rules, store)
         last = -1
+        manifest_pages = {s["crawl_id"]: 0 for s in seeds}
+    else:
+        manifest = store.read_manifest(last)
+        next_seq = manifest["next_seq"]
+        manifest_pages = dict(manifest["pages"])
+        frontier = store.read_table(spark, last, "frontier").localCheckpoint()
+        seen_src = store.read_appendonly(spark, last, "admitted")
+        seen = seen_src.select("crawl_id", "url_norm").localCheckpoint()
 
     crawls = _crawl_dim(spark, seeds).cache()
-    manifest = store.read_manifest(last)
-    next_seq: int = manifest["next_seq"]
-    pages: dict[str, int] = dict(manifest["pages"])
-    max_pages = {r["crawl_id"]: r["max_pages"] for r in crawls.collect()}
+    pages: dict[str, int] = dict(manifest_pages)
+    max_pages = {s["crawl_id"]: int(s["max_pages"]) for s in seeds}
+    robots_rules = robots_rules.cache()
 
     batch = last + 1
+    last_committed = last
     while batch < policy.max_batches:
-        frontier = store.read_table(spark, batch - 1, "frontier")
-        active = {c for c in pages if pages[c] < max_pages[c]}
+        active = sorted(c for c in pages if pages[c] < max_pages[c])
+        if not active:
+            break
         budgets = spark.createDataFrame(
-            [(c, max_pages[c] - pages[c]) for c in sorted(active)] or
-            [("__none__", 0)],
+            [(c, max_pages[c] - pages[c]) for c in active],
             "crawl_id string, remaining int",
-        ).where(F.col("remaining") > 0)
+        )
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
         counts = avail.agg(
-            F.sum(F.when(F.col("not_before_batch") <= batch, 1).otherwise(0)).alias("elig"),
-            F.sum(F.when(F.col("not_before_batch") > batch, 1).otherwise(0)).alias("future"),
+            F.sum((F.col("not_before_batch") <= batch).cast("long")).alias("elig"),
+            F.min(
+                F.when(F.col("not_before_batch") > batch, F.col("not_before_batch"))
+            ).alias("next_nb"),
         ).collect()[0]
-        n_elig, n_future = counts["elig"] or 0, counts["future"] or 0
+        n_elig = counts["elig"] or 0
         if n_elig == 0:
-            if n_future > 0:
-                # idle batch: nothing schedulable yet, commit an empty batch
-                store.write_table(frontier, batch, "frontier")
-                store.commit(batch, {"next_seq": next_seq, "pages": pages})
-                batch += 1
+            if counts["next_nb"] is not None:
+                # jump the idle backoff gap in one step; nothing observable
+                # happens in between, so batch numbering stays oracle-equal
+                batch = int(counts["next_nb"])
                 continue
             break
 
         eligible = avail.where(F.col("not_before_batch") <= batch).drop("remaining")
         scheduled = select_fetch_batch(eligible, budgets, policy)
-        fetched = fetch_scheduled(scheduled, cfg).cache()
+        fetched = fetch_scheduled(scheduled, cfg).localCheckpoint()
 
-        # --- trace + docs + metrics
-        trace = fetched.select(
-            "crawl_id",
-            F.lit(batch).cast("long").alias("batch_id"),
-            F.col("seq_in_batch").cast("long"),
-            "url_norm", "host", "depth",
+        fetched_out = fetched.withColumn("batch_id", F.lit(batch).cast("long")).drop(
+            "outlinks"
         )
-        is_page = (F.col("status") == 200) & F.col("content_type").isin(_PARSEABLE_LIST)
-        docs = fetched.where(is_page).select(
-            "crawl_id", "url_norm", F.xxhash64("url_norm").alias("url_hash"),
-            "host", "depth", "status", "content_type", "doc_id", "spans",
-            F.lit(batch).cast("long").alias("fetched_in_batch"),
-        )
-        metrics = fetched.groupBy("crawl_id", "host").agg(
-            F.count("*").alias("requests"),
-            F.sum(is_page.cast("long")).alias("successes"),
-            F.sum((F.col("status") >= 400).cast("long")).alias("failures"),
-            F.sum(F.when(is_page, F.size("spans")).otherwise(0)).cast("long").alias("bytes"),
-        ).withColumn("batch_id", F.lit(batch).cast("long"))
 
         page_counts = {
             r["crawl_id"]: r["n"]
-            for r in fetched.where(is_page).groupBy("crawl_id").agg(F.count("*").alias("n")).collect()
+            for r in fetched.where(_is_page())
+            .groupBy("crawl_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         for cid, n in page_counts.items():
             pages[cid] = pages.get(cid, 0) + n
@@ -248,13 +293,16 @@ def run_crawl(
             .withColumn(
                 "not_before_batch",
                 F.lit(batch)
-                + F.least(F.pow(F.lit(2.0), F.col("attempts")), F.lit(float(policy.backoff_cap))).cast("long"),
+                + F.least(
+                    F.pow(F.lit(2.0), F.col("attempts")),
+                    F.lit(float(policy.backoff_cap)),
+                ).cast("long"),
             )
             .select(*_FRONTIER_COLS)
         )
 
         # --- outlink candidates from this batch's fetches
-        parsed = fetched.where(is_page).select(
+        parsed = fetched.where(_is_page()).select(
             "crawl_id",
             F.col("discovery_seq").alias("parent_seq"),
             (F.col("depth") + 1).alias("depth"),
@@ -273,44 +321,39 @@ def run_crawl(
             parsed.unionByName(redirected)
             .where(F.col("crawl_id").isin(active_after))
             .join(
-                F.broadcast(crawls.select("crawl_id", "allowed_host_1", "allowed_host_2")),
+                F.broadcast(
+                    crawls.select("crawl_id", "allowed_host_1", "allowed_host_2")
+                ),
                 "crawl_id",
             )
         )
 
-        seen = store.read_appendonly(spark, batch - 1, "seen")
-        admitted = admit(candidates, seen, robots_rules).cache()
+        admitted = admit(candidates, seen, robots_rules).localCheckpoint()
 
-        queued_new = with_sequence(
+        queued_new, n_admitted = with_sequence(
             admitted.where("robots_ok").drop("robots_ok"),
             ["parent_seq", "link_idx"],
             start=next_seq,
         )
-        new_frontier_rows = _finish_frontier_rows(queued_new)
-
-        seen_delta = admitted.select(
-            "crawl_id",
-            F.xxhash64("url_norm").alias("url_hash"),
-            "url_norm",
-            F.lit(batch).cast("long").alias("first_seen_batch"),
-        )
-        blocked = admitted.where(~F.col("robots_ok")).select(
-            "crawl_id", "url_norm", F.lit(batch).cast("long").alias("batch_id")
-        )
-
-        frontier_next = (
+        frontier = (
             frontier.join(scheduled.select("discovery_seq"), "discovery_seq", "left_anti")
             .select(*_FRONTIER_COLS)
             .unionByName(retries)
-            .unionByName(new_frontier_rows)
-        )
+            .unionByName(_finish_frontier_rows(queued_new))
+        ).localCheckpoint()
+        next_seq += n_admitted
+
+        admitted_rows = _admitted_out(admitted, batch)
+        seen = seen.unionByName(
+            admitted_rows.select("crawl_id", "url_norm")
+        ).localCheckpoint()
 
         # --- per-partition lineage (north rule)
         lineage = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count("*").alias("rows_fetched"),
-                F.sum(is_page.cast("long")).alias("rows_ok"),
+                F.sum(_is_page().cast("long")).alias("rows_ok"),
             )
             .select(
                 F.lit(batch).cast("long").alias("batch_id"),
@@ -318,33 +361,34 @@ def run_crawl(
                 F.lit(n_elig).cast("long").alias("rows_in"),
                 F.col("rows_fetched").cast("long"),
                 F.col("rows_ok").cast("long").alias("rows_deduped"),
-                F.lit(None).cast("long").alias("rows_admitted"),
-                F.lit(datetime.datetime.now(datetime.timezone.utc).isoformat()).alias("commit_ts"),
+                F.lit(n_admitted).cast("long").alias("rows_admitted"),
+                F.lit(
+                    datetime.datetime.now(datetime.timezone.utc).isoformat()
+                ).alias("commit_ts"),
             )
         )
 
-        # --- commit (manifest last = commit point)
-        store.write_table(trace, batch, "trace")
-        store.write_table(docs, batch, "docs")
-        store.write_table(metrics, batch, "metrics")
-        store.write_table(seen_delta, batch, "seen")
-        store.write_table(blocked, batch, "blocked")
-        store.write_table(frontier_next, batch, "frontier")
+        # --- durable outputs every batch; mutable state per checkpoint_every
+        store.write_table(fetched_out, batch, "fetched")
+        store.write_table(admitted_rows, batch, "admitted")
         store.write_table(lineage, batch, "lineage")
-
-        n_admitted = spark.read.parquet(store.table_path(batch, "frontier")).where(
-            F.col("discovery_seq") >= next_seq
-        ).count()
-        next_seq += n_admitted
-        store.commit(batch, {"next_seq": next_seq, "pages": pages})
-
-        fetched.unpersist()
-        admitted.unpersist()
-        spark.catalog.clearCache()
-        crawls = _crawl_dim(spark, seeds).cache()
+        durable = (
+            policy.checkpoint_every <= 1
+            or batch % policy.checkpoint_every == 0
+            or (stop_after_batch is not None and batch >= stop_after_batch)
+        )
+        if durable:
+            store.write_table(frontier, batch, "frontier")
+            store.commit(batch, {"next_seq": next_seq, "pages": pages})
+            last_committed = batch
 
         if stop_after_batch is not None and batch >= stop_after_batch:
             return CrawlRunResult(store, batch, dict(pages))
         batch += 1
 
-    return CrawlRunResult(store, batch - 1, dict(pages))
+    # final commit so the terminal state is always durable
+    final = batch - 1
+    if final > last_committed:
+        store.write_table(frontier, final, "frontier")
+        store.commit(final, {"next_seq": next_seq, "pages": pages})
+    return CrawlRunResult(store, final, dict(pages))

@@ -39,6 +39,9 @@ class CrawlPolicy:
     backoff_cap: int = 8         # batches; delay = min(2^attempts, cap)
     max_batches: int = 10_000    # hard loop guard
     n_salts: int = 4             # skew salting width for the politeness stage
+    checkpoint_every: int = 1    # durable frontier/manifest every N batches
+                                 # (outputs are durable every batch; >1 trades
+                                 # replay-on-resume for fewer state writes)
 
     def backoff(self, attempts: int) -> int:
         """Batches to wait before the next attempt (attempts >= 1)."""

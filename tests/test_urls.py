@@ -124,6 +124,20 @@ def test_fast_path_matches_slow_path():
     assert list(fast) == list(slow)
 
 
+def test_fingerprint_equals_sha256_of_canonical_on_crawl_space():
+    """The loop computes url_fp = sha2(url_norm) JVM-side; verify it equals
+    the reference fingerprint for every URL in the synthetic web (canonical
+    URLs carry no path-;params, so the fingerprint string IS url_norm)."""
+    import hashlib
+
+    from crawler_distributed_spark import synth
+
+    cfg = synth.SynthConfig(n_hosts=4, pages_base=20)
+    for u in synth.all_urls(cfg):
+        un = U.canonicalize_url(u)
+        assert hashlib.sha256(un.encode()).hexdigest() == U.url_fingerprint(un)
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_column_filters_match_python(spark):
     """Column-expression filters (codegen path) == pure-Python filters."""
