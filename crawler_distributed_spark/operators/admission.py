@@ -90,6 +90,14 @@ def filter_unseen(deduped: DataFrame, url_seen: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_robots_rules(robots_rules: DataFrame) -> DataFrame:
+    """Pre-aggregate the rules table to one array per host. Loop-invariant:
+    compute once per run, cache, and pass to gate_robots every batch."""
+    return robots_rules.groupBy(F.col("host").alias("r_host")).agg(
+        F.collect_list(F.struct("path_prefix", "allow")).alias("_rules")
+    )
+
+
 def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
     """P3: longest-prefix-match against the per-host rules table.
 
@@ -100,12 +108,17 @@ def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
     dimension), broadcast-joined, and the longest-prefix pick runs as a
     higher-order-function fold over that array — a single broadcast hash
     join with NO shuffle and NO re-aggregation of the candidate side,
-    which matters when candidates are 10^8 per batch."""
+    which matters when candidates are 10^8 per batch.
+
+    ``robots_rules`` may be the raw (host, path_prefix, allow) table or
+    the pre-aggregated form from aggregate_robots_rules()."""
     path = F.regexp_replace(
         F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]*", ""), r"[?#].*$", ""
     )
-    per_host = robots_rules.groupBy(F.col("host").alias("r_host")).agg(
-        F.collect_list(F.struct("path_prefix", "allow")).alias("_rules")
+    per_host = (
+        robots_rules
+        if "_rules" in robots_rules.columns
+        else aggregate_robots_rules(robots_rules)
     )
     joined = unseen.withColumn("_path", path).join(
         F.broadcast(per_host), F.col("host") == F.col("r_host"), "left"

@@ -1,8 +1,8 @@
 """Politeness scheduling: per-host quota with skew salting.
 
-North-rule prescription: "per-host politeness buckets ... expressed as
-salted groupBy.applyInPandas over host-keyed partitions". Reference
-semantics: at most ``quota_per_host`` in-flight requests per domain
+North-rule prescription: per-host politeness buckets as salted pandas
+group processing over host-keyed partitions. Reference semantics: at most
+``quota_per_host`` in-flight requests per domain
 (CONCURRENT_REQUESTS_PER_DOMAIN=4, settings.py:46-48; the spider yields
 next URLs only while len(currently_crawling) < quota,
 domain_spider.py:538-548), here discretized to "at most q scheduled
@@ -10,18 +10,25 @@ fetches per (crawl, host) per micro-batch".
 
 Two-phase exact top-q under salting (SURVEY.md §7 risk #3):
 
-  phase 1: group by (crawl_id, host, salt) where salt = xxhash64(url_norm) % S
-           → each salt group emits its local top-q (applyInPandas).
-           The union of S local top-q sets provably contains the global
-           top-q, while no single task ever sees a hot host's full frontier.
+  phase 1: repartition by (crawl_id, host, salt) where
+           salt = xxhash64(url_norm) % S, then one pandas pass per
+           PARTITION (mapInPandas) takes each salt-group's local top-q.
+           This is the vectorized form of groupBy.applyInPandas — same
+           host-keyed salted grouping, but one Arrow exchange per
+           partition instead of one python call per group, which matters
+           when there are 10^5+ (host, salt) groups per batch. The union
+           of S local top-q sets provably contains the global top-q,
+           while no single task ever sees a hot host's full frontier.
   phase 2: window over (crawl_id, host) → row_number ≤ q on the ≤ S·q
-           survivors (tiny), giving the exact host-level top-q.
+           survivors per host (tiny), giving the exact host-level top-q.
 
 Order key everywhere: (depth ASC, priority_score DESC, discovery_seq ASC)
 — total, data-defined, parallelism-independent.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -33,9 +40,24 @@ _SORT_COLS = ["depth", "priority_score", "discovery_seq"]
 _SORT_ASC = [True, False, True]
 
 
-def _local_topq(quota: int):
-    def take(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.sort_values(_SORT_COLS, ascending=_SORT_ASC).head(quota)
+def _salt_local_topq(quota: int):
+    """Running top-q per (crawl, host, salt) group across the partition's
+    Arrow batches — memory stays O(groups·q + one batch), never the whole
+    partition, so a hot host's salt slice can exceed executor memory."""
+
+    def take(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pool = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                pool.sort_values(_SORT_COLS, ascending=_SORT_ASC, kind="mergesort")
+                .groupby(["crawl_id", "host", "_salt"], sort=False, observed=True)
+                .head(quota)
+            )
+        if acc is not None and len(acc):
+            yield acc
 
     return take
 
@@ -44,26 +66,35 @@ def select_fetch_batch(
     eligible: DataFrame,
     budgets: DataFrame,
     policy: CrawlPolicy,
+    n_eligible: int | None = None,
 ) -> DataFrame:
     """Pick this batch's fetch set from eligible frontier rows.
 
     ``budgets``: (crawl_id, remaining) — max_pages minus pages crawled so
     far; always small (one row per crawl), broadcast.
 
+    ``n_eligible``: if the caller already knows the eligible row count and
+    it is below ``policy.salt_threshold``, the salted phase-1 pre-filter
+    is skipped — its only purpose is bounding per-task work under hot-host
+    skew, which cannot bite on a small batch; the window in phase 2 is the
+    exact operator either way.
+
     Returns the scheduled rows with ``seq_in_batch`` (per-crawl trace
     order, 1-based).
     """
-    salted = eligible.withColumn(
-        "_salt", F.pmod(F.xxhash64("url_norm"), F.lit(policy.n_salts))
-    )
-    phase1 = (
-        salted.groupBy("crawl_id", "host", "_salt")
-        .applyInPandas(
-            lambda _key, pdf: _local_topq(policy.quota_per_host)(pdf),
-            schema=salted.schema,
+    if n_eligible is not None and n_eligible < policy.salt_threshold:
+        phase1 = eligible
+    else:
+        salted = eligible.withColumn(
+            "_salt", F.pmod(F.xxhash64("url_norm"), F.lit(policy.n_salts))
         )
-        .drop("_salt")
-    )
+        spark = eligible.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        phase1 = (
+            salted.repartition(n_part, "crawl_id", "host", "_salt")
+            .mapInPandas(_salt_local_topq(policy.quota_per_host), schema=salted.schema)
+            .drop("_salt")
+        )
 
     host_w = Window.partitionBy("crawl_id", "host").orderBy(
         F.col("depth").asc(), F.col("priority_score").desc(), F.col("discovery_seq").asc()

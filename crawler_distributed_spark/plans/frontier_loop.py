@@ -11,13 +11,16 @@ plan per micro-batch:
     → atomic checkpoint commit (storage.BatchStore)
 
 Performance shape (local[32] now, 1000 executors later):
-- Working state (frontier, seen) lives in eagerly localCheckpoint'ed
-  DataFrames — per-batch plans stay O(batch), never re-read or re-derive
-  grown state; parquet is the durable copy, written per batch (outputs)
-  or per `checkpoint_every` batches (mutable state).
-- Two durable outputs per batch — `fetched` (trace/docs/metrics are
-  projections of it) and `admitted` (seen/blocked are projections) —
-  instead of seven small writes.
+- Each heavy plan materializes EXACTLY ONCE per batch, as its durable
+  parquet write (write-then-readback): `fetched` (materializes politeness
+  + fetch), `admitted` (materializes the admission pipeline), and the
+  frontier localCheckpoint (materializes the state union). Trace, docs,
+  metrics, seen and blocked are read-time projections of the two written
+  tables — no extra jobs, no extra copies.
+- The URL-seen set is never re-materialized: the admission anti-join
+  probes the lazy union of previously written `admitted` parquet dirs
+  (append-only deltas; at 10^6+ batches these would be compacted, which
+  is the Iceberg MERGE swap point in storage.py).
 - Idle backoff gaps are jumped in one step (batch -> min not_before)
   rather than committed as empty batches; the oracle's batch numbering is
   preserved because nothing observable happens in the gap.
@@ -28,8 +31,23 @@ Performance shape (local[32] now, 1000 executors later):
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import os
+import time
 from dataclasses import dataclass
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+
+
+@contextlib.contextmanager
+def _timed(label: str):
+    if not _TIMING:
+        yield
+        return
+    t0 = time.time()
+    yield
+    print(f"      [{label}] {time.time() - t0:.2f}s", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +68,7 @@ _FRONTIER_COLS = [
 
 _RETRYABLE_LIST = sorted(RETRYABLE_STATUSES)
 _PARSEABLE_LIST = sorted(PARSEABLE_CONTENT_TYPES)
+
 
 def _is_page():
     return (F.col("status") == 200) & F.col("content_type").isin(_PARSEABLE_LIST)
@@ -134,7 +153,7 @@ def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
         "crawl_id",
         "url",
         "url_norm",
-        F.xxhash64("url_norm").alias("url_hash"),
+        F.col("url_hash"),
         F.sha2(F.col("url_norm"), 256).alias("url_fp"),
         "host",
         F.col("depth").cast("int").alias("depth"),
@@ -146,14 +165,20 @@ def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
     )
 
 
-def _admitted_out(admitted: DataFrame, batch_id: int) -> DataFrame:
-    """Durable ``admitted`` rows: the seen-set delta + robots verdicts."""
+def _admitted_wide(admitted: DataFrame, batch_id: int) -> DataFrame:
+    """Durable ``admitted`` rows: the seen-set delta + robots verdicts +
+    everything with_sequence/frontier-insert need downstream."""
     return admitted.select(
         "crawl_id",
         F.xxhash64("url_norm").alias("url_hash"),
         "url_norm",
         F.lit(batch_id).cast("long").alias("first_seen_batch"),
         "robots_ok",
+        "url",
+        "host",
+        "parent_seq",
+        "link_idx",
+        "depth",
     )
 
 
@@ -162,10 +187,10 @@ def init_crawl(
     seeds: list[dict],
     robots_rules: DataFrame,
     store: BatchStore,
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, int]:
     """Seed admission, committed as batch=-1 (reference: start_urls are
     enqueued unfiltered, domain_spider.py:219-265; robots gating still
-    applies per north rule). Returns (frontier_df, seen_df, next_seq)."""
+    applies per north rule). Returns (frontier_df, next_seq)."""
     ordered = sorted(seeds, key=lambda s: s["crawl_id"])
     rows = []
     for idx, s in enumerate(ordered):
@@ -183,24 +208,23 @@ def init_crawl(
         .withColumn("allowed_host_2", F.lit(None).cast("string"))
     )
     unseen = filter_unseen(deduped, empty_seen)
-    admitted = gate_robots(unseen, robots_rules).localCheckpoint()
+    admitted = gate_robots(unseen, robots_rules)
+
+    store.write_table(_admitted_wide(admitted, -1), -1, "admitted")
+    admitted_r = store.read_table(spark, -1, "admitted")
 
     queued, n_queued = with_sequence(
-        admitted.where("robots_ok").drop("robots_ok"),
+        admitted_r.where("robots_ok"),
         ["parent_seq", "link_idx"],
         start=0,
     )
-    frontier = _finish_frontier_rows(queued).localCheckpoint()
-    admitted_rows = _admitted_out(admitted, -1).localCheckpoint()
-
-    store.write_table(frontier, -1, "frontier")
-    store.write_table(admitted_rows, -1, "admitted")
+    store.write_table(_finish_frontier_rows(queued), -1, "frontier")
+    frontier = store.read_table(spark, -1, "frontier")
     store.commit(
         -1,
         {"next_seq": int(n_queued), "pages": {s["crawl_id"]: 0 for s in ordered}},
     )
-    seen = admitted_rows.select("crawl_id", "url_norm")
-    return frontier, seen, int(n_queued)
+    return frontier, int(n_queued)
 
 
 def run_crawl(
@@ -223,21 +247,23 @@ def run_crawl(
             raise ValueError(
                 f"checkpoint {checkpoint_dir} already has state; pass resume=True"
             )
-        frontier, seen, next_seq = init_crawl(spark, seeds, robots_rules, store)
+        frontier, next_seq = init_crawl(spark, seeds, robots_rules, store)
         last = -1
         manifest_pages = {s["crawl_id"]: 0 for s in seeds}
     else:
         manifest = store.read_manifest(last)
         next_seq = manifest["next_seq"]
         manifest_pages = dict(manifest["pages"])
-        frontier = store.read_table(spark, last, "frontier").localCheckpoint()
-        seen_src = store.read_appendonly(spark, last, "admitted")
-        seen = seen_src.select("crawl_id", "url_norm").localCheckpoint()
+        frontier = store.read_table(spark, last, "frontier")
 
     crawls = _crawl_dim(spark, seeds).cache()
     pages: dict[str, int] = dict(manifest_pages)
     max_pages = {s["crawl_id"]: int(s["max_pages"]) for s in seeds}
-    robots_rules = robots_rules.cache()
+    # loop-invariant dimension: aggregate + cache the robots rules once
+    from ..operators.admission import aggregate_robots_rules
+
+    robots_agg = aggregate_robots_rules(robots_rules).cache()
+    robots_agg.count()
 
     batch = last + 1
     last_committed = last
@@ -251,12 +277,13 @@ def run_crawl(
         )
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
-        counts = avail.agg(
+        with _timed("counts"):
+            counts = avail.agg(
             F.sum((F.col("not_before_batch") <= batch).cast("long")).alias("elig"),
-            F.min(
-                F.when(F.col("not_before_batch") > batch, F.col("not_before_batch"))
-            ).alias("next_nb"),
-        ).collect()[0]
+                F.min(
+                    F.when(F.col("not_before_batch") > batch, F.col("not_before_batch"))
+                ).alias("next_nb"),
+                ).collect()[0]
         n_elig = counts["elig"] or 0
         if n_elig == 0:
             if counts["next_nb"] is not None:
@@ -267,20 +294,27 @@ def run_crawl(
             break
 
         eligible = avail.where(F.col("not_before_batch") <= batch).drop("remaining")
-        scheduled = select_fetch_batch(eligible, budgets, policy)
-        fetched = fetch_scheduled(scheduled, cfg).localCheckpoint()
+        scheduled = select_fetch_batch(eligible, budgets, policy, n_eligible=n_elig)
 
-        fetched_out = fetched.withColumn("batch_id", F.lit(batch).cast("long")).drop(
-            "outlinks"
-        )
+        # materialization #1: politeness + fetch, straight into parquet
+        with _timed("fetch+schedule write"):
+            store.write_table(
+                fetch_scheduled(scheduled, cfg).withColumn(
+                    "batch_id", F.lit(batch).cast("long")
+                ),
+                batch,
+                "fetched",
+            )
+        fetched = store.read_table(spark, batch, "fetched")
 
-        page_counts = {
-            r["crawl_id"]: r["n"]
-            for r in fetched.where(_is_page())
-            .groupBy("crawl_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        with _timed("page_counts"):
+            page_counts = {
+                r["crawl_id"]: r["n"]
+                for r in fetched.where(_is_page())
+                .groupBy("crawl_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
         for cid, n in page_counts.items():
             pages[cid] = pages.get(cid, 0) + n
         active_after = sorted(c for c in pages if pages[c] < max_pages[c])
@@ -317,9 +351,14 @@ def run_crawl(
             F.lit(0).alias("link_idx"),
             F.col("outlinks").getItem(0).alias("raw_url"),
         )
+        # active-crawl restriction via broadcast semi-join (an isin() list
+        # would inline one literal per crawl — 10^4+ crawls breaks the plan)
+        active_df = spark.createDataFrame(
+            [(c,) for c in active_after] or [("__none__",)], "crawl_id string"
+        )
         candidates = (
             parsed.unionByName(redirected)
-            .where(F.col("crawl_id").isin(active_after))
+            .join(F.broadcast(active_df), "crawl_id", "left_semi")
             .join(
                 F.broadcast(
                     crawls.select("crawl_id", "allowed_host_1", "allowed_host_2")
@@ -328,25 +367,35 @@ def run_crawl(
             )
         )
 
-        admitted = admit(candidates, seen, robots_rules).localCheckpoint()
-
-        queued_new, n_admitted = with_sequence(
-            admitted.where("robots_ok").drop("robots_ok"),
-            ["parent_seq", "link_idx"],
-            start=next_seq,
+        # the seen set: lazy union of previously-written admitted deltas —
+        # probed by the anti-join, never materialized as a separate copy
+        seen = store.read_appendonly(spark, batch - 1, "admitted").select(
+            "crawl_id", "url_norm"
         )
-        frontier = (
-            frontier.join(scheduled.select("discovery_seq"), "discovery_seq", "left_anti")
-            .select(*_FRONTIER_COLS)
-            .unionByName(retries)
-            .unionByName(_finish_frontier_rows(queued_new))
-        ).localCheckpoint()
-        next_seq += n_admitted
 
-        admitted_rows = _admitted_out(admitted, batch)
-        seen = seen.unionByName(
-            admitted_rows.select("crawl_id", "url_norm")
-        ).localCheckpoint()
+        # materialization #2: the admission pipeline, straight into parquet
+        admitted = admit(candidates, seen, robots_agg)
+        with _timed("admission write"):
+            store.write_table(_admitted_wide(admitted, batch), batch, "admitted")
+        admitted_r = store.read_table(spark, batch, "admitted")
+
+        with _timed("with_sequence count"):
+            queued_new, n_admitted = with_sequence(
+                admitted_r.where("robots_ok"),
+                ["parent_seq", "link_idx"],
+                start=next_seq,
+            )
+
+        # materialization #3: next frontier state (kept hot for the next
+        # iteration; parquet-persisted on durable batches)
+        with _timed("frontier checkpoint"):
+            frontier = (
+                frontier.join(scheduled.select("discovery_seq"), "discovery_seq", "left_anti")
+                .select(*_FRONTIER_COLS)
+                .unionByName(retries)
+                .unionByName(_finish_frontier_rows(queued_new))
+            ).localCheckpoint()
+        next_seq += n_admitted
 
         # --- per-partition lineage (north rule)
         lineage = (
@@ -367,11 +416,9 @@ def run_crawl(
                 ).alias("commit_ts"),
             )
         )
+        with _timed("lineage write"):
+            store.write_table(lineage, batch, "lineage")
 
-        # --- durable outputs every batch; mutable state per checkpoint_every
-        store.write_table(fetched_out, batch, "fetched")
-        store.write_table(admitted_rows, batch, "admitted")
-        store.write_table(lineage, batch, "lineage")
         durable = (
             policy.checkpoint_every <= 1
             or batch % policy.checkpoint_every == 0

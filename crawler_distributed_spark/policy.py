@@ -42,6 +42,10 @@ class CrawlPolicy:
     checkpoint_every: int = 1    # durable frontier/manifest every N batches
                                  # (outputs are durable every batch; >1 trades
                                  # replay-on-resume for fewer state writes)
+    salt_threshold: int = 2_000_000  # eligible rows below this skip the salted
+                                     # phase-1 politeness pre-filter (it exists
+                                     # to bound per-task work under hot-host
+                                     # skew; the phase-2 window is exact)
 
     def backoff(self, attempts: int) -> int:
         """Batches to wait before the next attempt (attempts >= 1)."""

@@ -74,7 +74,7 @@ def parse_page_url(cfg: SynthConfig, url_norm: str):
         host, _, path = rest.partition("/")
         if not host.endswith(".example.com"):
             return None
-        j = int(host[1:4])
+        j = int(host[1 : -len(".example.com")])
         path = "/" + path
         if path.startswith("/private/p/"):
             i = int(path[len("/private/p/"):])
@@ -100,7 +100,7 @@ def is_homepage(cfg: SynthConfig, url_norm: str):
     host, _, path = for_scheme.partition("/")
     if path == "" and host.startswith("h") and host.endswith(".example.com"):
         try:
-            j = int(host[1:4])
+            j = int(host[1 : -len(".example.com")])
         except ValueError:
             return None
         if 0 <= j < cfg.n_hosts:
