@@ -356,6 +356,49 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic over documents; distribution
+    of guessed languages."""
+    from crawler_distributed_spark.pipelines.text import lang_guess
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(lang_guess(F.col("text")).alias("guess"))
+        .groupBy("guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("guess")
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (words + punctuation + long-word splits)."""
+    from crawler_distributed_spark.pipelines.text import bpe_ish_token_count
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select("lang", bpe_ish_token_count(F.col("text")).alias("btok"))
+        .groupBy("lang")
+        .agg(F.sum("btok").alias("bpe_tokens"), F.count("*").alias("docs"))
+        .orderBy("lang")
+    )
+
+
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint duplicate groups (xxhash64 over the
+    normalized prefix) — counts per distinct fingerprint bucket size."""
+    from crawler_distributed_spark.pipelines.text import doc_fingerprint
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("groups"))
+        .orderBy("n")
+    )
+
+
 # --- non-SQL-expressible (rows-only checks) ---------------------------------
 
 
@@ -377,6 +420,102 @@ def q_crawl_trace_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = trace.collect()
     return spark.createDataFrame(rows, trace.schema).orderBy(
         "batch_id", "crawl_id", "seq_in_batch"
+    )
+
+
+def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature duplicate groups (rows-only; signature math is
+    engine-specific, correctness property-tested in pytest)."""
+    from crawler_distributed_spark.pipelines.dedup import simhash_dup_groups
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return simhash_dup_groups(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).orderBy("simhash")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (the ANN scale path; recall
+    vs brute force asserted in pytest)."""
+    from crawler_distributed_spark.pipelines.similarity import lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(e.select("embedding").first()["embedding"])
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, queries, dim=dim, k=5, bits=8).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets."""
+    from crawler_distributed_spark.pipelines.similarity import embedding_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(e.select("embedding").first()["embedding"])
+    # the synthetic embeddings are near-orthogonal (max pairwise cos ~0.51)
+    # so the "near-dup" band for this data sits at 0.35
+    return embedding_near_dup_pairs(e, dim=dim, threshold=0.35, bits=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W1-W18 extraction surface over interleaved span docs (rows-only;
+    per-family equality vs the span oracle asserted in pytest)."""
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.extract.spans import parse_docs
+
+    cfg = synth.SynthConfig(n_hosts=3, pages_base=20, hot_factor=2, branching=5)
+    rows = []
+    for u in synth.all_urls(cfg):
+        spans = synth.spans_of(cfg, u)
+        if not spans:
+            continue
+        rows.append(
+            (
+                synth.doc_id_of(u),
+                u,
+                u.split("/")[2],
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in spans
+                ],
+            )
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, url_norm string, host string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    parsed = parse_docs(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("page_title.title").alias("title"),
+        F.col("headings_data.count").alias("n_headings"),
+        F.col("links_data.total").alias("n_links"),
+        F.col("links_data.internal").alias("n_internal"),
+        F.col("images_data.total").alias("n_images"),
+        F.col("javascript_data.total").alias("n_scripts"),
+        F.col("text_metrics.word_count").alias("words"),
+        F.col("uri_data.depth").alias("uri_depth"),
+        F.col("directives_data.is_indexable").alias("indexable"),
+    ).orderBy("doc_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing over synthetic binary media
+    (deterministic stub kernel; rows-only)."""
+    from crawler_distributed_spark.pipelines.multimodal import (
+        extract_features,
+        synth_media_docs,
+    )
+
+    media = synth_media_docs(spark, n=60)
+    return (
+        extract_features(media, dims=8)
+        .select("media_id", F.round(F.expr("aggregate(feature, 0D, (a,x) -> a + x)"), 4).alias("feat_sum"))
+        .orderBy("media_id")
     )
 
 
@@ -424,8 +563,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_daily_rollup": q_events_daily_rollup,
+        "lang_id": q_lang_id,
+        "bpe_token_counts": q_bpe_token_counts,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "crawl_trace_synthetic": q_crawl_trace_synthetic,
         "minhash_near_dup": q_minhash_near_dup,
+        "simhash_dup_groups": q_simhash_dup_groups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "span_extraction": q_span_extraction,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -559,7 +706,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS total
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
-        # crawl_trace_synthetic / minhash_near_dup: non-SQL-expressible
-        # (iterative frontier loop with politeness state; LSH banding) —
-        # rows-only here, oracle-verified in pytest instead.
+        "lang_id": """
+            WITH s AS (
+              SELECT
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x IN ('the','and','of','is'))) AS s_en,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x IN ('el','la','los','es'))) AS s_es,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x IN ('der','die','und','ist'))) AS s_de,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x IN ('le','la','les','est'))) AS s_fr
+              FROM documents)
+            SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS guess,
+                   count(*) AS n
+            FROM s GROUP BY 1 ORDER BY guess
+        """,
+        "bpe_token_counts": """
+            SELECT lang,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+'))
+                       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g'))
+                       + len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> length(x) > 8))) AS bpe_tokens,
+                   count(*) AS docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_rolling_fingerprint": """
+            -- hash-function-independent oracle: the distribution of
+            -- duplicate-group sizes is the same for any collision-free hash
+            WITH fp AS (SELECT md5(regexp_replace(lower(substr(text, 1, 64)),
+                                                  '\\s+', ' ', 'g')) AS f
+                        FROM documents),
+            g AS (SELECT f, count(*) AS n FROM fp GROUP BY f)
+            SELECT n, count(*) AS groups FROM g GROUP BY n ORDER BY n
+        """,
+        # crawl_trace_synthetic / minhash_near_dup / simhash_dup_groups /
+        # ann_lsh_topk / embedding_near_dup / span_extraction /
+        # multimodal_features: non-SQL-expressible (iterative frontier loop,
+        # engine-hash LSH banding/signatures, span-array extraction, binary
+        # decode plumbing) — rows-only here, oracle-verified in pytest.
     }

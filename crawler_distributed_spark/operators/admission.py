@@ -36,15 +36,51 @@ from ..functions.urls import (
 
 def filter_candidates(candidates: DataFrame) -> DataFrame:
     """Apply F1-F5 to raw hrefs. Expects columns: crawl_id, raw_url,
-    allowed_host_1, allowed_host_2, parent_seq, link_idx, depth."""
-    raw = F.col("raw_url")
-    host = host_col(raw)
+    allowed_host_1, allowed_host_2, parent_seq, link_idx, depth.
+
+    Fused form of (valid ∧ ¬deny ∧ ¬skipped-ext ∧ ¬media ∧ in-scope):
+    the lowercased URL and the lowercased path are computed once in a
+    projection and every predicate runs against them case-sensitively —
+    this stage sees every discovered href (~10^8/batch at scale), so
+    regex-pass count is the budget. Semantics identical to the per-filter
+    Column functions (tested against the pure-Python filters)."""
+    from ..functions.urls import _EXT_ALTERNATION, DENY_PATTERNS, MEDIA_EXTENSIONS
+
+    media_alt = "|".join(sorted(e.lstrip(".") for e in MEDIA_EXTENSIONS))
+    lower_url = F.lower(F.col("raw_url"))
+    path = F.regexp_replace(
+        F.regexp_replace(lower_url, r"^[a-z][a-z0-9+.-]*://[^/]*", ""), r"[?#].*$", ""
+    )
+    host = F.regexp_replace(
+        F.regexp_extract(
+            F.regexp_replace(lower_url, r"^[a-z][a-z0-9+.-]*://", ""), r"^([^/?#]*)", 1
+        ),
+        r":(80|443)$",
+        "",
+    )
+    staged = candidates.select(
+        "*", lower_url.alias("_lu"), path.alias("_path"), host.alias("_host")
+    )
+    lu, pth, hst = F.col("_lu"), F.col("_path"), F.col("_host")
+    valid = F.col("raw_url").rlike(
+        r"^(https?|ftp)://"
+        r"([a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?\.)+"
+        r"[a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?"
+        r"(/[^/\s]*)*$"
+    )
+    deny = lu.rlike("|".join(DENY_PATTERNS))
+    ext_hit = lu.rlike(r"\.(" + _EXT_ALTERNATION + r")(\?.*)?$") | (
+        (F.length(pth) > 0)
+        & ~pth.endswith("/")
+        & pth.rlike(r"\.(" + _EXT_ALTERNATION + r")$")
+    )
+    media_hit = pth.rlike(r"\.(" + media_alt + r")$") | lu.rlike(
+        r"[?&](download|dl|file)=[^&#]"
+    )
+    in_scope = (hst == F.col("allowed_host_1")) | (hst == F.col("allowed_host_2"))
     return (
-        candidates.where(valid_url_col(raw))
-        .where(~denied_col(raw))
-        .where(~skipped_extension_col(raw))
-        .where(~media_url_col(raw))
-        .where(host.isin(F.col("allowed_host_1"), F.col("allowed_host_2")))
+        staged.where(in_scope & valid & ~deny & ~ext_hit & ~media_hit)
+        .drop("_lu", "_path", "_host")
     )
 
 

@@ -7,10 +7,11 @@ fetcher is the deterministic synthetic web (synth.py) — a pure function of
 the URL, so executors need no shared state and no I/O; in production the
 same operator body would issue batched HTTP requests per Arrow batch.
 
-Emits one row per scheduled URL with status/content_type/doc_id, the raw
-outlink array, and the interleaved span array (BASELINE.json input_hint
-payload). Downstream splits this into fetched_docs rows, retry rows, and
-outlink candidates — one pass, no refetch.
+Serialization note: the span payload crosses the Arrow boundary as FOUR
+parallel primitive arrays (kind/text/media_ref/offset) and is zipped into
+the `array<struct>` column JVM-side with ``arrays_zip`` — pandas→Arrow
+conversion of list<struct> is ~7× slower than list<primitive>, and this
+stage is the hot loop's biggest Python surface.
 """
 
 from __future__ import annotations
@@ -19,55 +20,89 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import synth
 
-_FETCH_RESULT_FIELDS = [
+_RAW_FIELDS = [
     T.StructField("status", T.IntegerType(), False),
     T.StructField("content_type", T.StringType(), False),
     T.StructField("doc_id", T.StringType(), True),
     T.StructField("outlinks", T.ArrayType(T.StringType()), False),
-    T.StructField(
-        "spans",
-        T.ArrayType(
-            T.StructType(
-                [
-                    T.StructField("kind", T.StringType(), False),
-                    T.StructField("text", T.StringType(), True),
-                    T.StructField("media_ref", T.StringType(), True),
-                    T.StructField("offset", T.IntegerType(), False),
-                ]
-            )
-        ),
-        False,
-    ),
+    T.StructField("span_kind", T.ArrayType(T.StringType()), False),
+    T.StructField("span_text", T.ArrayType(T.StringType()), False),
+    T.StructField("span_ref", T.ArrayType(T.StringType()), False),
+    T.StructField("span_offset", T.ArrayType(T.IntegerType()), False),
 ]
 
 
 def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
-    """Append fetch-result columns to the scheduled batch."""
-    out_schema = T.StructType(list(scheduled.schema.fields) + _FETCH_RESULT_FIELDS)
+    """Append fetch-result columns (status, content_type, doc_id, outlinks,
+    spans) to the scheduled batch.
+
+    The batch is explicitly re-spread by url_hash first: AQE coalesces the
+    upstream politeness windows' output by BYTE size (a few MB → 1-2
+    partitions), which would serialize this CPU-bound stage — per-URL cost,
+    not bytes, is what matters here. The repartition also sets the file
+    count of the fetched parquet, keeping downstream admission parallel."""
+    n_part = int(scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scheduled = scheduled.repartition(n_part, "url_hash")
+    out_schema = T.StructType(list(scheduled.schema.fields) + _RAW_FIELDS)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls = pdf["url_norm"]
+            n = len(pdf)
+            statuses = [0] * n
+            ctypes = [""] * n
+            doc_ids: list = [None] * n
+            outlinks: list = [None] * n
+            kinds: list = [None] * n
+            texts: list = [None] * n
+            refs: list = [None] * n
+            offsets: list = [None] * n
+            for i, u in enumerate(pdf["url_norm"].tolist()):
+                st = synth.status_of(cfg, u)
+                ct = synth.content_type_of(cfg, u)
+                statuses[i] = st
+                ctypes[i] = ct
+                links = synth.outlinks_of(cfg, u)
+                outlinks[i] = links
+                if st == 200 and ct == "text/html":
+                    doc_ids[i] = synth.doc_id_of(u)
+                    spans = synth.spans_of(cfg, u)
+                    kinds[i] = [s[0] for s in spans]
+                    texts[i] = [s[1] for s in spans]
+                    refs[i] = [s[2] for s in spans]
+                    offsets[i] = [s[3] for s in spans]
+                else:
+                    kinds[i] = []
+                    texts[i] = []
+                    refs[i] = []
+                    offsets[i] = []
             pdf = pdf.copy()
-            pdf["status"] = urls.map(lambda u: synth.status_of(cfg, u)).astype("int32")
-            pdf["content_type"] = urls.map(lambda u: synth.content_type_of(cfg, u))
-            pdf["doc_id"] = [
-                synth.doc_id_of(u)
-                if s == 200 and c == "text/html"
-                else None
-                for u, s, c in zip(urls, pdf["status"], pdf["content_type"])
-            ]
-            pdf["outlinks"] = urls.map(lambda u: synth.outlinks_of(cfg, u))
-            pdf["spans"] = urls.map(
-                lambda u: [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for (k, t, m, o) in synth.spans_of(cfg, u)
-                ]
-            )
+            pdf["status"] = pd.array(statuses, dtype="int32")
+            pdf["content_type"] = ctypes
+            pdf["doc_id"] = doc_ids
+            pdf["outlinks"] = outlinks
+            pdf["span_kind"] = kinds
+            pdf["span_text"] = texts
+            pdf["span_ref"] = refs
+            pdf["span_offset"] = offsets
             yield pdf
 
-    return scheduled.mapInPandas(do_fetch, schema=out_schema)
+    raw = scheduled.mapInPandas(do_fetch, schema=out_schema)
+    spans = F.arrays_zip(
+        F.col("span_kind").alias("kind"),
+        F.col("span_text").alias("text"),
+        F.col("span_ref").alias("media_ref"),
+        F.col("span_offset").alias("offset"),
+    ).alias("spans")
+    return raw.select(
+        *[c for c in scheduled.columns],
+        "status",
+        "content_type",
+        "doc_id",
+        "outlinks",
+        spans,
+    )

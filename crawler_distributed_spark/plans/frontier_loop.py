@@ -129,6 +129,10 @@ class CrawlRunResult:
         return self.store.read_appendonly(spark, self.last_batch, "lineage")
 
 
+def _pages_dict(budget_state: DataFrame) -> dict:
+    return {r["crawl_id"]: r["pages"] for r in budget_state.collect()}
+
+
 def _crawl_dim(spark: SparkSession, seeds: list[dict]) -> DataFrame:
     rows = []
     for s in sorted(seeds, key=lambda s: s["crawl_id"]):
@@ -220,10 +224,12 @@ def init_crawl(
     )
     store.write_table(_finish_frontier_rows(queued), -1, "frontier")
     frontier = store.read_table(spark, -1, "frontier")
-    store.commit(
-        -1,
-        {"next_seq": int(n_queued), "pages": {s["crawl_id"]: 0 for s in ordered}},
+    budget = spark.createDataFrame(
+        [(s["crawl_id"], 0, int(s["max_pages"])) for s in ordered],
+        "crawl_id string, pages int, max_pages int",
     )
+    store.write_table(budget, -1, "budget")
+    store.commit(-1, {"next_seq": int(n_queued)})
     return frontier, int(n_queued)
 
 
@@ -249,16 +255,16 @@ def run_crawl(
             )
         frontier, next_seq = init_crawl(spark, seeds, robots_rules, store)
         last = -1
-        manifest_pages = {s["crawl_id"]: 0 for s in seeds}
     else:
         manifest = store.read_manifest(last)
         next_seq = manifest["next_seq"]
-        manifest_pages = dict(manifest["pages"])
         frontier = store.read_table(spark, last, "frontier")
 
     crawls = _crawl_dim(spark, seeds).cache()
-    pages: dict[str, int] = dict(manifest_pages)
-    max_pages = {s["crawl_id"]: int(s["max_pages"]) for s in seeds}
+    # per-crawl budget lives as a Spark state table, not a driver dict —
+    # every O(#crawls) driver loop/collect would serialize the batch at
+    # 10^5+ crawls (and 10^7 on a real cluster)
+    budget_state = store.read_table(spark, last, "budget").localCheckpoint()
     # loop-invariant dimension: aggregate + cache the robots rules once
     from ..operators.admission import aggregate_robots_rules
 
@@ -268,12 +274,8 @@ def run_crawl(
     batch = last + 1
     last_committed = last
     while batch < policy.max_batches:
-        active = sorted(c for c in pages if pages[c] < max_pages[c])
-        if not active:
-            break
-        budgets = spark.createDataFrame(
-            [(c, max_pages[c] - pages[c]) for c in active],
-            "crawl_id string, remaining int",
+        budgets = budget_state.where(F.col("pages") < F.col("max_pages")).select(
+            "crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining")
         )
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
@@ -307,17 +309,22 @@ def run_crawl(
             )
         fetched = store.read_table(spark, batch, "fetched")
 
-        with _timed("page_counts"):
-            page_counts = {
-                r["crawl_id"]: r["n"]
-                for r in fetched.where(_is_page())
-                .groupBy("crawl_id")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-        for cid, n in page_counts.items():
-            pages[cid] = pages.get(cid, 0) + n
-        active_after = sorted(c for c in pages if pages[c] < max_pages[c])
+        budget_rows = (
+            fetched if policy.count_scheduled_in_budget else fetched.where(_is_page())
+        )
+        deltas = budget_rows.groupBy("crawl_id").agg(F.count("*").alias("_n"))
+        with _timed("budget update"):
+            budget_state = (
+                budget_state.join(deltas, "crawl_id", "left")
+                .select(
+                    "crawl_id",
+                    (F.col("pages") + F.coalesce(F.col("_n"), F.lit(0)))
+                    .cast("int")
+                    .alias("pages"),
+                    "max_pages",
+                )
+                .localCheckpoint()
+            )
 
         # --- retries (Q7: backoff in batches, bury after max_attempts)
         retryable = F.col("status").isin(_RETRYABLE_LIST)
@@ -351,10 +358,10 @@ def run_crawl(
             F.lit(0).alias("link_idx"),
             F.col("outlinks").getItem(0).alias("raw_url"),
         )
-        # active-crawl restriction via broadcast semi-join (an isin() list
-        # would inline one literal per crawl — 10^4+ crawls breaks the plan)
-        active_df = spark.createDataFrame(
-            [(c,) for c in active_after] or [("__none__",)], "crawl_id string"
+        # active-crawl restriction via broadcast semi-join on the budget
+        # state (an isin() literal list would break the plan at 10^4+ crawls)
+        active_df = budget_state.where(F.col("pages") < F.col("max_pages")).select(
+            "crawl_id"
         )
         candidates = (
             parsed.unionByName(redirected)
@@ -426,16 +433,18 @@ def run_crawl(
         )
         if durable:
             store.write_table(frontier, batch, "frontier")
-            store.commit(batch, {"next_seq": next_seq, "pages": pages})
+            store.write_table(budget_state, batch, "budget")
+            store.commit(batch, {"next_seq": next_seq})
             last_committed = batch
 
         if stop_after_batch is not None and batch >= stop_after_batch:
-            return CrawlRunResult(store, batch, dict(pages))
+            return CrawlRunResult(store, batch, _pages_dict(budget_state))
         batch += 1
 
     # final commit so the terminal state is always durable
     final = batch - 1
     if final > last_committed:
         store.write_table(frontier, final, "frontier")
-        store.commit(final, {"next_seq": next_seq, "pages": pages})
-    return CrawlRunResult(store, final, dict(pages))
+        store.write_table(budget_state, final, "budget")
+        store.commit(final, {"next_seq": next_seq})
+    return CrawlRunResult(store, final, _pages_dict(budget_state))

@@ -46,6 +46,11 @@ class CrawlPolicy:
                                      # phase-1 politeness pre-filter (it exists
                                      # to bound per-task work under hot-host
                                      # skew; the phase-2 window is exact)
+    count_scheduled_in_budget: bool = False  # True: max_pages counts scheduled
+                                             # fetches, not just successful html
+                                             # pages (reference counts successes;
+                                             # True compresses the budget tail —
+                                             # used by throughput benches)
 
     def backoff(self, attempts: int) -> int:
         """Batches to wait before the next attempt (attempts >= 1)."""

@@ -247,12 +247,20 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
             offset += len(anchor) + 1
             li += 1
         elif sel == 8:
-            ref = f"https://{url_norm.split('/')[2]}/img/{k}.png"
-            spans.append(("image", None, ref, offset))
+            host = url_norm.split("/")[2]
+            if _h(cfg.seed, "med", url_norm, k) % 3 == 0:
+                spans.append(("script", None, f"https://{host}/js/app{k}.js", offset))
+            else:
+                spans.append(("image", None, f"https://{host}/img/{k}.png", offset))
             offset += 1
         else:
-            spans.append(("meta", "robots: index,follow", None, offset))
-            offset += 22
+            if _h(cfg.seed, "meta", url_norm, k) % 3 == 0:
+                word = _VOCAB[_h(cfg.seed, "dw", url_norm, k) % len(_VOCAB)]
+                spans.append(("meta", f"description: {word} page", None, offset))
+                offset += 20
+            else:
+                spans.append(("meta", "robots: index,follow", None, offset))
+                offset += 22
     return spans
 
 

@@ -28,6 +28,7 @@ def main() -> int:
     p.add_argument("--quota", type=int, default=12)
     p.add_argument("--max-attempts", type=int, default=1)
     p.add_argument("--backoff-cap", type=int, default=2)
+    p.add_argument("--budget-scheduled", action="store_true")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -43,7 +44,8 @@ def main() -> int:
     )
     seeds = synth.seed_rows(cfg, max_pages=args.max_pages)
     policy = CrawlPolicy(quota_per_host=args.quota, checkpoint_every=8,
-                         max_attempts=args.max_attempts, backoff_cap=args.backoff_cap)
+                         max_attempts=args.max_attempts, backoff_cap=args.backoff_cap,
+                         count_scheduled_in_budget=args.budget_scheduled)
     spark = get_spark(app_name=f"scaling-{args.cpus}", cpus=args.cpus)
     robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
 

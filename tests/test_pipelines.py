@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_distributed_spark.pipelines import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with planted exact dups and near-dups."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest looking for food and shelter tonight"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "rapid")),  # near dup of 0
+        (3, base.replace("tonight", "today").replace("deep", "dark")),  # near dup
+        (4, "completely different text about spark query engines and shuffles "
+            "partitions catalysts optimizers and distributed execution plans"),
+        (5, "el gato y el perro es la casa de los animales en la granja"),
+        (6, "der hund und die katze ist der freund und das haus ist gross"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    got = {r.keep_id: r.dups for r in dedup.exact_dedup(docs).collect()}
+    assert got[0] == 2  # docs 0 and 1 identical
+    assert got[2] == 1
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_dup_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (0, 3) in pairs  # near dups collide in some band
+    assert (0, 4) not in pairs and (0, 5) not in pairs  # unrelated don't
+
+
+def test_simhash_exact_dups_share_signature(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(set(g.ids) >= {0, 1} for g in groups)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    for (a, b), j in pairs.items():
+        assert j >= 0.5
+
+
+def test_brute_force_topk_self_is_nearest(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        vec = [math.sin(i * 0.7 + d) for d in range(8)]
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(corpus, queries, k=3)
+    top1 = {r.query_id: r.vec_id for r in got.where(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # self-similarity = 1.0 wins
+
+
+def test_lsh_topk_agrees_with_brute_force_on_top1(spark):
+    import math
+
+    rows = []
+    for i in range(200):
+        vec = [math.sin(i * 0.31 + d * 1.7) for d in range(8)]
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id").isin(5, 50)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(corpus, queries, k=1)
+    lsh = similarity.lsh_topk(corpus, queries, dim=8, k=1, bits=6)
+    bf1 = {r.query_id: r.vec_id for r in bf.collect()}
+    lsh1 = {r.query_id: r.vec_id for r in lsh.collect()}
+    # self is always in its own bucket → top-1 must agree
+    assert bf1 == lsh1
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.embedding_near_dup_pairs(vecs, dim=4, threshold=0.99, bits=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_lang_guess(spark, docs):
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", text.lang_guess(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[5] == "es"
+    assert got[6] == "de"
+
+
+def test_quality_and_tokens(spark, docs):
+    row = docs.where(F.col("doc_id") == 0).select(
+        text.quality_struct(F.col("text")).alias("q"),
+        text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        text.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row.n == 24
+    assert row.bpe >= row.n
+    assert row.q.chars > 100 and row.q.stopword_ratio > 0
+    fp2 = docs.where(F.col("doc_id") == 1).select(
+        text.doc_fingerprint(F.col("text")).alias("fp")).collect()[0].fp
+    assert row.fp == fp2  # identical docs → identical fingerprint
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synth_media_docs(spark, n=30)
+    feats = multimodal.extract_features(media, dims=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 and r.decode_ok for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in multimodal.extract_features(media, dims=8).collect()}
+    assert again == {r.media_id: r.feature for r in rows}
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    media = multimodal.synth_media_docs(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, real_decode=True)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media_docs(spark, n=30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert rows
+    assert all(r.sample_ms % 1000 == 0 for r in rows)
