@@ -254,6 +254,44 @@ def allowed_hosts_for_domain(domain: str) -> tuple[str, str]:
     return (domain, f"www.{domain}")
 
 
+_ABS_URL_RE = re.compile(r'https?://[^\s\'"<>]+')
+_REL_URL_RE = re.compile(r'(?<=[\'"\s])/[^\s\'"<>]+')
+
+
+def extract_urls_from_text(text: str, base_url: str | None = None) -> list[str]:
+    """L3: absolute (+ base-resolved relative) URL extraction from free
+    text with trailing-punctuation cleanup, normalized, set-deduplicated
+    (lib/utils/url_utils.py:360-405). Returns in first-seen order (the
+    reference returns an unordered set; callers compare as sets)."""
+    if not text:
+        return []
+    from urllib.parse import urljoin
+
+    urls = _ABS_URL_RE.findall(text)
+    if base_url:
+        urls += [urljoin(base_url, rel) for rel in _REL_URL_RE.findall(text)]
+    seen, out = set(), []
+    for url in urls:
+        while url and url[-1] in ".,;:'\")]}":
+            url = url[:-1]
+        if not url:
+            continue
+        norm = canonicalize_url(url)
+        if norm not in seen:
+            seen.add(norm)
+            out.append(norm)
+    return out
+
+
+def extract_urls_col(text: Column) -> Column:
+    """L3 (JVM path): absolute URLs in free text, trailing punctuation
+    stripped — the codegen'd pre-pass before canonicalization."""
+    raw = F.regexp_extract_all(text, F.lit(r"https?://[^\s'\"<>]+"), 0)
+    return F.transform(
+        raw, lambda u: F.regexp_replace(u, r"[.,;:'\")\]}]+$", "")
+    )
+
+
 def dedup_urls_keep_order(urls: list[str]) -> list[str]:
     """First-occurrence-wins dedup by fingerprint, input order preserved
     (lib/utils/url_utils.py:459-480)."""

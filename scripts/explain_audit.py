@@ -1,0 +1,56 @@
+"""Plan audit: print formatted physical plans for key queries and grep the
+properties that matter at 100 TB — parquet PushedFilters, pruned
+ReadSchema, broadcast joins on dimensions, WholeStageCodegen spans.
+
+Usage: python scripts/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+from crawler_distributed_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+AUDITS = {
+    "pricing_summary": ["PushedFilters", "ReadSchema"],
+    "top_hosts": ["BroadcastHashJoin"],
+    "url_admission": ["WholeStageCodegen"],
+    "seen_antijoin": ["PushedFilters"],
+    "dedup_exact": ["HashAggregate"],
+    "ann_cosine_topk": ["BroadcastNestedLoopJoin", "WholeStageCodegen"],
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    qs = entry.queries()
+    names = sys.argv[1:] or list(AUDITS)
+    failures = 0
+    for name in names:
+        plan = plan_of(qs[name](spark, SF_DIR))
+        print(f"\n===== {name} =====")
+        print(plan[:4000])
+        for marker in AUDITS.get(name, []):
+            ok = marker in plan
+            print(f"  audit {marker}: {'OK' if ok else 'MISSING'}")
+            failures += 0 if ok else 1
+    print("\naudit failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
