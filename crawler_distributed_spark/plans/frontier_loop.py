@@ -79,6 +79,7 @@ class CrawlRunResult:
     store: BatchStore
     last_batch: int
     pages_crawled: dict
+    batch_seconds: list | None = None  # wall time of each executed batch
 
     def _fetched(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_appendonly(spark, self.last_batch, "fetched")
@@ -273,7 +274,9 @@ def run_crawl(
 
     batch = last + 1
     last_committed = last
+    batch_seconds: list = []
     while batch < policy.max_batches:
+        _bt0 = time.time()
         budgets = budget_state.where(F.col("pages") < F.col("max_pages")).select(
             "crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining")
         )
@@ -437,8 +440,9 @@ def run_crawl(
             store.commit(batch, {"next_seq": next_seq})
             last_committed = batch
 
+        batch_seconds.append(round(time.time() - _bt0, 2))
         if stop_after_batch is not None and batch >= stop_after_batch:
-            return CrawlRunResult(store, batch, _pages_dict(budget_state))
+            return CrawlRunResult(store, batch, _pages_dict(budget_state), batch_seconds)
         batch += 1
 
     # final commit so the terminal state is always durable
@@ -447,4 +451,4 @@ def run_crawl(
         store.write_table(frontier, final, "frontier")
         store.write_table(budget_state, final, "budget")
         store.commit(final, {"next_seq": next_seq})
-    return CrawlRunResult(store, final, _pages_dict(budget_state))
+    return CrawlRunResult(store, final, _pages_dict(budget_state), batch_seconds)

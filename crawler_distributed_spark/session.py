@@ -22,17 +22,19 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-aware defaults.
 
-    ``cpus`` maps to ``local[cpus]`` in the sandbox; on a real cluster the
-    master URL comes from spark-submit and this argument is ignored by
-    Spark (the builder's master is only a default).
+    ``cpus`` maps to ``local[cpus]`` in the sandbox. Pass ``master`` (e.g.
+    ``spark://127.0.0.1:7077``) for a standalone cluster; then ``cpus`` is
+    the TOTAL core cap (spark.cores.max) and executors come from the
+    cluster manager — the multi-executor N-vs-4N scaling path.
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,8 +48,29 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master and master.startswith("spark://"):
+        builder = (
+            builder.config("spark.cores.max", str(cpus))
+            .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "12g"))
+            .config("spark.driver.memory", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if master and master.startswith("spark://"):
+        spark.sparkContext.addPyFile(package_zip())
     return spark
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors — the spark-submit
+    --py-files vehicle (north rule), built on demand for addPyFile."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "crawler_distributed_spark_pkg")
+    zip_path = shutil.make_archive(out, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    return zip_path

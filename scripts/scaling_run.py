@@ -29,6 +29,8 @@ def main() -> int:
     p.add_argument("--max-attempts", type=int, default=1)
     p.add_argument("--backoff-cap", type=int, default=2)
     p.add_argument("--budget-scheduled", action="store_true")
+    p.add_argument("--master", default=None, help="e.g. spark://127.0.0.1:7077")
+    p.add_argument("--exec-cores", type=int, default=6)
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -46,7 +48,11 @@ def main() -> int:
     policy = CrawlPolicy(quota_per_host=args.quota, checkpoint_every=8,
                          max_attempts=args.max_attempts, backoff_cap=args.backoff_cap,
                          count_scheduled_in_budget=args.budget_scheduled)
-    spark = get_spark(app_name=f"scaling-{args.cpus}", cpus=args.cpus)
+    extra = {}
+    if args.master:
+        extra["spark.executor.cores"] = str(args.exec_cores)
+    spark = get_spark(app_name=f"scaling-{args.cpus}", cpus=args.cpus,
+                      master=args.master, extra_conf=extra)
     robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
 
     t0 = time.time()
@@ -74,6 +80,7 @@ def main() -> int:
         "seen_urls": seen_agg["n"],
         "seen_hash": int(seen_agg["seen_hash"]),
         "last_batch": res.last_batch,
+        "batch_seconds": res.batch_seconds,
     }))
     spark.stop()
     return 0
