@@ -117,8 +117,28 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
     )
 
 
-def filter_unseen(deduped: DataFrame, url_seen: DataFrame) -> DataFrame:
-    """C4: drop URLs already in the seen set (exact anti-join backstop)."""
+def filter_unseen(
+    deduped: DataFrame, url_seen: DataFrame, bloom: DataFrame | None = None
+) -> DataFrame:
+    """C4: drop URLs already in the seen set.
+
+    With a bloom table (operators/seen_filter.py): bloom misses are
+    provably novel and bypass the join entirely; only bloom hits (true
+    seen + false positives) go through the exact anti-join. Without one:
+    plain anti-join."""
+    if bloom is not None:
+        from .seen_filter import bloom_split
+
+        tagged = bloom_split(deduped, bloom)
+        novel = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        return novel.unionByName(
+            maybe.join(
+                url_seen.select("crawl_id", "url_norm"),
+                on=["crawl_id", "url_norm"],
+                how="left_anti",
+            )
+        )
     return deduped.join(
         url_seen.select("crawl_id", "url_norm"),
         on=["crawl_id", "url_norm"],
@@ -174,12 +194,15 @@ def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
 
 
 def admit(
-    candidates: DataFrame, url_seen: DataFrame, robots_rules: DataFrame
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    robots_rules: DataFrame,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Full admission pipeline. Output columns: crawl_id, url_norm, host,
     parent_seq, link_idx, depth, robots_ok."""
     filtered = filter_candidates(candidates)
     canon = canonicalize_candidates(filtered)
     deduped = dedup_in_batch(canon)
-    unseen = filter_unseen(deduped, url_seen)
+    unseen = filter_unseen(deduped, url_seen, bloom)
     return gate_robots(unseen, robots_rules)

@@ -268,9 +268,19 @@ def run_crawl(
     budget_state = store.read_table(spark, last, "budget").localCheckpoint()
     # loop-invariant dimension: aggregate + cache the robots rules once
     from ..operators.admission import aggregate_robots_rules
+    from ..operators.seen_filter import build_bloom_delta, merge_blooms
 
     robots_agg = aggregate_robots_rules(robots_rules).cache()
     robots_agg.count()
+
+    # partitioned bloom filter over the seen set (north rule): rebuilt from
+    # the admitted deltas on start/resume, OR-merged with each batch's delta
+    bloom = None
+    if policy.use_bloom:
+        seen_all = store.read_appendonly(spark, last, "admitted")
+        bloom = build_bloom_delta(
+            seen_all.select("url_norm"), n_buckets=policy.bloom_buckets
+        ).localCheckpoint()
 
     batch = last + 1
     last_committed = last
@@ -384,7 +394,7 @@ def run_crawl(
         )
 
         # materialization #2: the admission pipeline, straight into parquet
-        admitted = admit(candidates, seen, robots_agg)
+        admitted = admit(candidates, seen, robots_agg, bloom=bloom)
         with _timed("admission write"):
             store.write_table(_admitted_wide(admitted, batch), batch, "admitted")
         admitted_r = store.read_table(spark, batch, "admitted")
@@ -428,6 +438,13 @@ def run_crawl(
         )
         with _timed("lineage write"):
             store.write_table(lineage, batch, "lineage")
+
+        if policy.use_bloom:
+            with _timed("bloom merge"):
+                delta = build_bloom_delta(
+                    admitted_r.select("url_norm"), n_buckets=policy.bloom_buckets
+                )
+                bloom = merge_blooms(bloom, delta).localCheckpoint()
 
         durable = (
             policy.checkpoint_every <= 1

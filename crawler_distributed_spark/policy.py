@@ -46,6 +46,9 @@ class CrawlPolicy:
                                      # phase-1 politeness pre-filter (it exists
                                      # to bound per-task work under hot-host
                                      # skew; the phase-2 window is exact)
+    use_bloom: bool = True       # partitioned bloom pre-filter ahead of the
+                                 # seen anti-join (bloom misses bypass the join)
+    bloom_buckets: int = 64      # bloom bitmap partitioning width
     count_scheduled_in_budget: bool = False  # True: max_pages counts scheduled
                                              # fetches, not just successful html
                                              # pages (reference counts successes;
