@@ -69,9 +69,14 @@ def main() -> int:
     from crawler_distributed_spark.plans.frontier_loop import run_crawl
     from crawler_distributed_spark.policy import CrawlPolicy
 
-    cfg = synth.SynthConfig(n_hosts=400, pages_base=60, hot_factor=10, branching=8)
+    # throughput-representative config: wide host fan-out, few fat waves
+    # (see BENCH/BASELINE.md; reference-politeness quota-4 numbers there)
+    cfg = synth.SynthConfig(n_hosts=20000, pages_base=100, hot_factor=10, branching=8)
     seeds = synth.seed_rows(cfg, max_pages=24)
-    policy = CrawlPolicy(quota_per_host=8, checkpoint_every=4)
+    policy = CrawlPolicy(
+        quota_per_host=24, checkpoint_every=8, max_attempts=1, backoff_cap=2,
+        count_scheduled_in_budget=True,
+    )
     robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
