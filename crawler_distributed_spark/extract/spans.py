@@ -208,6 +208,158 @@ def uri_struct(url_col: str = "url_norm") -> Column:
     )
 
 
+def canonical_struct(url_col: str = "url_norm") -> Column:
+    """W4: canonical link + self-canonical check + noindex conflict
+    (canonical_worker.py:47-268; self-check :205-234)."""
+    metas = _texts(_of_kind("meta"))
+    canon = F.filter(metas, lambda t: t.startswith("canonical:"))
+    href = F.regexp_replace(F.get(canon, 0), "^canonical: ", "")
+    robots = F.concat_ws(",", F.filter(metas, lambda t: t.startswith("robots:")))
+    return F.struct(
+        href.alias("canonical_url"),
+        F.size(canon).alias("canonical_count"),
+        (href == F.col(url_col)).alias("is_self_canonical"),
+        (href.isNotNull() & robots.contains("noindex")).alias("noindex_conflict"),
+    )
+
+
+def ga_analytics_struct() -> Column:
+    """W6: GA/GTM detection + measurement-id extraction from script refs
+    (google_analytics_worker.py:31-190; UA-/G-/GTM- id patterns)."""
+    refs = _refs(_of_kind("script"))
+    ga_refs = F.filter(
+        refs,
+        lambda r: r.isNotNull()
+        & (r.contains("googletagmanager.com") | r.contains("google-analytics.com")),
+    )
+    ids = F.array_distinct(
+        F.filter(
+            F.transform(
+                ga_refs, lambda r: F.regexp_extract(r, r"[?&]id=((UA|G|GTM)-[A-Za-z0-9-]+)", 1)
+            ),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    return F.struct(
+        (F.size(ga_refs) > 0).alias("has_analytics"),
+        ids.alias("measurement_ids"),
+        F.size(ids).alias("id_count"),
+    )
+
+
+def hreflang_struct(url_col: str = "url_norm") -> Column:
+    """W7: hreflang alternates — lang codes, validity, self-reference
+    (hreflang_worker.py:51-383; lang-code regex validation)."""
+    metas = _texts(_of_kind("meta"))
+    hl = F.filter(metas, lambda t: t.startswith("hreflang:"))
+    entries = F.transform(
+        hl,
+        lambda t: F.struct(
+            F.regexp_extract(t, r"^hreflang: (\S+) ", 1).alias("lang"),
+            F.regexp_extract(t, r"^hreflang: \S+ (.*)$", 1).alias("href"),
+        ),
+    )
+    langs = F.array_distinct(F.transform(entries, lambda e: e["lang"]))
+    valid = F.filter(
+        langs, lambda code: code.rlike("^[a-z]{2}(-[a-z]{2})?$")
+    )
+    self_ref = F.exists(
+        entries, lambda e: e["href"].startswith(F.col(url_col))
+    )
+    return F.struct(
+        F.size(entries).alias("count"),
+        langs.alias("langs"),
+        (F.size(langs) - F.size(valid)).alias("invalid_lang_count"),
+        self_ref.alias("has_self_reference"),
+        F.array_contains(
+            F.transform(entries, lambda e: e["lang"]), "x-default"
+        ).alias("has_x_default"),
+    )
+
+
+def mobile_struct() -> Column:
+    """W11: viewport parse + mobile-friendliness verdict
+    (mobile_worker.py:49-413; score → likely/possibly/unlikely)."""
+    metas = _texts(_of_kind("meta"))
+    vp = F.get(F.filter(metas, lambda t: t.startswith("viewport:")), 0)
+    has_vp = vp.isNotNull()
+    responsive = has_vp & vp.contains("width=device-width")
+    initial_scale = has_vp & vp.contains("initial-scale=1")
+    verdict = (
+        F.when(responsive & initial_scale, F.lit("likely"))
+        .when(has_vp, F.lit("possibly"))
+        .otherwise(F.lit("unlikely"))
+    )
+    return F.struct(
+        has_vp.alias("has_viewport"),
+        responsive.alias("responsive_width"),
+        initial_scale.alias("has_initial_scale"),
+        verdict.alias("mobile_friendly"),
+    )
+
+
+def structured_data_struct() -> Column:
+    """W14: structured-data type flags + schema count
+    (structured_worker.py:48-453; has_<type> flags over JSON-LD types)."""
+    metas = _texts(_of_kind("meta"))
+    sd = F.transform(
+        F.filter(metas, lambda t: t.startswith("jsonld:")),
+        lambda t: F.regexp_replace(t, "^jsonld: ", ""),
+    )
+    types = F.array_distinct(sd)
+    return F.struct(
+        F.size(sd).alias("schema_count"),
+        types.alias("types"),
+        F.array_contains(types, "Article").alias("has_article"),
+        F.array_contains(types, "Product").alias("has_product"),
+        F.array_contains(types, "FAQPage").alias("has_faq"),
+    )
+
+
+def third_party_struct(host_col: str = "host") -> Column:
+    """W15: third-party service detection — external script refs grouped
+    by provider domain (third_party_services_worker.py:44-802 signature
+    sets, reduced to ref-domain classification over spans)."""
+    refs = _refs(_of_kind("script"))
+    ext = F.filter(
+        refs,
+        lambda r: r.isNotNull()
+        & r.contains("://")
+        & ~r.contains(F.col(host_col)),
+    )
+    domains = F.array_distinct(
+        F.transform(ext, lambda r: F.regexp_extract(r, r"^https?://([^/]+)", 1))
+    )
+    return F.struct(
+        F.size(ext).alias("third_party_scripts"),
+        domains.alias("provider_domains"),
+        F.exists(domains, lambda d: d.contains("googletagmanager")).alias(
+            "has_tag_manager"
+        ),
+    )
+
+
+def pagespeed_struct() -> Column:
+    """W13: resource inventory — script/image/media counts, third-party
+    share, render-blocking proxy (pagespeed_worker.py:46-535 reduced to
+    the span-visible resource surface)."""
+    scripts = _of_kind("script")
+    images = _of_kind("image")
+    videos = _of_kind("video")
+    n_res = F.size(scripts) + F.size(images) + F.size(videos)
+    ext_scripts = F.filter(
+        _refs(scripts), lambda r: r.isNotNull() & r.contains("://")
+    )
+    return F.struct(
+        n_res.alias("resource_count"),
+        F.size(scripts).alias("scripts"),
+        F.size(images).alias("images"),
+        F.size(videos).alias("videos"),
+        F.size(ext_scripts).alias("external_scripts"),
+        (F.size(scripts) > 5).alias("many_scripts"),
+    )
+
+
 ALL_FAMILIES = {
     "page_title": page_title_struct,
     "meta_description": meta_description_struct,
@@ -218,6 +370,13 @@ ALL_FAMILIES = {
     "javascript_data": javascript_struct,
     "text_metrics": text_metrics_struct,
     "uri_data": uri_struct,
+    "canonical_data": canonical_struct,
+    "ga_analytics": ga_analytics_struct,
+    "hreflang_data": hreflang_struct,
+    "mobile_data": mobile_struct,
+    "structured_data": structured_data_struct,
+    "third_party_services": third_party_struct,
+    "pagespeed_data": pagespeed_struct,
 }
 
 
@@ -230,15 +389,21 @@ def parse_docs(docs: DataFrame, families: list[str] | None = None) -> DataFrame:
     (parser/dispatch/job_dispatcher.py:24-152): same outputs, one pass,
     column-pruned, no queue."""
     names = families or list(ALL_FAMILIES)
+    needs_url = {"uri_data", "canonical_data", "hreflang_data"}
+    needs_host = {"third_party_services"}
     cols = [docs["*"]]
     for name in names:
         fn = ALL_FAMILIES[name]
         if name == "links_data":
             cols.append(fn("host" if "host" in docs.columns else None).alias(name))
-        elif name == "uri_data":
+        elif name in needs_url:
             if "url_norm" not in docs.columns:
                 continue
             cols.append(fn("url_norm").alias(name))
+        elif name in needs_host:
+            if "host" not in docs.columns:
+                continue
+            cols.append(fn("host").alias(name))
         else:
             cols.append(fn().alias(name))
     return docs.select(*cols)

@@ -248,16 +248,52 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
             li += 1
         elif sel == 8:
             host = url_norm.split("/")[2]
-            if _h(cfg.seed, "med", url_norm, k) % 3 == 0:
+            m = _h(cfg.seed, "med", url_norm, k) % 6
+            if m == 0:
                 spans.append(("script", None, f"https://{host}/js/app{k}.js", offset))
+            elif m == 1:
+                gid = _h(cfg.seed, "gid", url_norm) % 100000
+                spans.append(
+                    ("script", None,
+                     f"https://www.googletagmanager.com/gtag/js?id=G-{gid:05d}", offset)
+                )
+            elif m == 2:
+                spans.append(
+                    ("script", None, f"https://cdn.thirdparty.net/lib{k}.js", offset)
+                )
             else:
                 spans.append(("image", None, f"https://{host}/img/{k}.png", offset))
             offset += 1
         else:
-            if _h(cfg.seed, "meta", url_norm, k) % 3 == 0:
+            m = _h(cfg.seed, "meta", url_norm, k) % 8
+            if m in (0, 1):
                 word = _VOCAB[_h(cfg.seed, "dw", url_norm, k) % len(_VOCAB)]
                 spans.append(("meta", f"description: {word} page", None, offset))
                 offset += 20
+            elif m == 2:
+                # canonical: usually self, sometimes another page (dup signal)
+                if _h(cfg.seed, "canon", url_norm) % 4 == 0:
+                    target = url_norm.rsplit("/", 1)[0] + "/0"
+                else:
+                    target = url_norm
+                spans.append(("meta", f"canonical: {target}", None, offset))
+                offset += 12
+            elif m == 3:
+                spans.append(
+                    ("meta", "viewport: width=device-width, initial-scale=1",
+                     None, offset)
+                )
+                offset += 10
+            elif m == 4:
+                lang = ("en-us", "de-de", "es-es")[_h(cfg.seed, "hl", url_norm, k) % 3]
+                spans.append(
+                    ("meta", f"hreflang: {lang} {url_norm}?hl={lang}", None, offset)
+                )
+                offset += 14
+            elif m == 5:
+                st = ("Article", "Product", "FAQPage")[_h(cfg.seed, "sd", url_norm) % 3]
+                spans.append(("meta", f"jsonld: {st}", None, offset))
+                offset += 11
             else:
                 spans.append(("meta", "robots: index,follow", None, offset))
                 offset += 22

@@ -119,6 +119,84 @@ def test_text_metrics(docs):
         assert row.text_metrics.span_count == len(_spans(u))
 
 
+def _metas(u, prefix):
+    return [t for (k, t, m, o) in _spans(u) if k == "meta" and t.startswith(prefix)]
+
+
+def test_canonical(docs):
+    hit = 0
+    for u, row in docs.items():
+        canons = [t.removeprefix("canonical: ") for t in _metas(u, "canonical:")]
+        assert row.canonical_data.canonical_count == len(canons)
+        if canons:
+            assert row.canonical_data.canonical_url == canons[0]
+            assert row.canonical_data.is_self_canonical == (canons[0] == u)
+            hit += 1
+    assert hit > 0
+
+
+def test_ga_analytics(docs):
+    hit = 0
+    for u, row in docs.items():
+        ga = [
+            m for (k, t, m, o) in _spans(u)
+            if k == "script" and m and "googletagmanager" in m
+        ]
+        assert row.ga_analytics.has_analytics == bool(ga)
+        if ga:
+            assert all(i.startswith("G-") for i in row.ga_analytics.measurement_ids)
+            hit += 1
+    assert hit > 0
+
+
+def test_hreflang(docs):
+    hit = 0
+    for u, row in docs.items():
+        hl = _metas(u, "hreflang:")
+        assert row.hreflang_data["count"] == len(hl)
+        if hl:
+            langs = {t.split()[1] for t in hl}
+            assert set(row.hreflang_data.langs) == langs
+            assert row.hreflang_data.invalid_lang_count == 0
+            assert row.hreflang_data.has_self_reference  # synth hrefs start with url
+            hit += 1
+    assert hit > 0
+
+
+def test_mobile_and_structured(docs):
+    vp_hit = sd_hit = 0
+    for u, row in docs.items():
+        has_vp = bool(_metas(u, "viewport:"))
+        assert row.mobile_data.has_viewport == has_vp
+        if has_vp:
+            assert row.mobile_data.mobile_friendly == "likely"
+            vp_hit += 1
+        types = {t.removeprefix("jsonld: ") for t in _metas(u, "jsonld:")}
+        assert set(row.structured_data.types) == types
+        assert row.structured_data.has_product == ("Product" in types)
+        if types:
+            sd_hit += 1
+    assert vp_hit > 0 and sd_hit > 0
+
+
+def test_third_party_and_pagespeed(docs):
+    hit = 0
+    for u, row in docs.items():
+        host = u.split("/")[2]
+        ext = [
+            m for (k, t, m, o) in _spans(u)
+            if k == "script" and m and "://" in m and host not in m
+        ]
+        assert row.third_party_services.third_party_scripts == len(ext)
+        if ext:
+            hit += 1
+        n_scripts = sum(1 for (k, t, m, o) in _spans(u) if k == "script")
+        n_images = sum(1 for (k, t, m, o) in _spans(u) if k == "image")
+        assert row.pagespeed_data.scripts == n_scripts
+        assert row.pagespeed_data.images == n_images
+    assert hit > 0
+
+
 def test_uri_data(docs):
     for u, row in docs.items():
         path = u.split("://", 1)[1].split("/", 1)
