@@ -138,6 +138,23 @@ def sitemap_score_col(
     return priority + recency + bonus
 
 
+def sitemap_score_py(
+    priority: float, lastmod: str | None, changefreq: str | None, now_date: str
+) -> float:
+    """Pure-Python twin of sitemap_score_col — identical expression order
+    so engine/oracle float results match bitwise."""
+    import datetime as _dt
+    import re as _re
+
+    recency = 0.0
+    if lastmod and _re.match(r"^\d{4}-\d{2}-\d{2}($|T)", lastmod):
+        d = _dt.date.fromisoformat(lastmod[:10])
+        days = (_dt.date.fromisoformat(now_date) - d).days
+        recency = max(0.0, 1 - days / 365.0)
+    bonus = CHANGEFREQ_BONUS.get(changefreq, 0.0) if changefreq else 0.0
+    return priority + recency + bonus
+
+
 def prioritize_sitemap_entries(
     entries_df, now_date: str, max_pages: int | None = None
 ):

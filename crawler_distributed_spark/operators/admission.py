@@ -97,23 +97,29 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
 
     Implemented as groupBy + min_by struct (partial aggregation map-side)
     rather than a window, so it shuffles each key once and never sorts."""
+    has_prio = "priority_score" in canon.columns
+    payload = ["parent_seq", "link_idx", "depth", "raw_url"] + (
+        ["priority_score"] if has_prio else []
+    )
     winner = F.min_by(
-        F.struct("parent_seq", "link_idx", "depth", "raw_url"),
-        F.struct("parent_seq", "link_idx"),
+        F.struct(*payload), F.struct("parent_seq", "link_idx")
     ).alias("w")
+    out = [
+        "crawl_id",
+        "url_norm",
+        "host",
+        F.col("w.parent_seq").alias("parent_seq"),
+        F.col("w.link_idx").alias("link_idx"),
+        F.col("w.depth").alias("depth"),
+        F.col("w.raw_url").alias("url"),
+    ]
+    if has_prio:
+        out.append(F.col("w.priority_score").alias("priority_score"))
     return (
         canon.groupBy("crawl_id", "url_norm", "host",
                       "allowed_host_1", "allowed_host_2")
         .agg(winner)
-        .select(
-            "crawl_id",
-            "url_norm",
-            "host",
-            F.col("w.parent_seq").alias("parent_seq"),
-            F.col("w.link_idx").alias("link_idx"),
-            F.col("w.depth").alias("depth"),
-            F.col("w.raw_url").alias("url"),
-        )
+        .select(*out)
     )
 
 

@@ -34,6 +34,12 @@ _RAW_FIELDS = [
     T.StructField("span_text", T.ArrayType(T.StringType()), False),
     T.StructField("span_ref", T.ArrayType(T.StringType()), False),
     T.StructField("span_offset", T.ArrayType(T.IntegerType()), False),
+    # sitemap-entry metadata (S6): filled when the fetched URL is a
+    # sitemap — the served XML is parsed right here (functions/sitemaps)
+    T.StructField("sm_url", T.ArrayType(T.StringType()), False),
+    T.StructField("sm_lastmod", T.ArrayType(T.StringType()), False),
+    T.StructField("sm_priority", T.ArrayType(T.DoubleType()), False),
+    T.StructField("sm_changefreq", T.ArrayType(T.StringType()), False),
 ]
 
 
@@ -51,6 +57,8 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
     out_schema = T.StructType(list(scheduled.schema.fields) + _RAW_FIELDS)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.sitemaps import parse_sitemap_xml
+
         for pdf in batches:
             n = len(pdf)
             statuses = [0] * n
@@ -61,6 +69,10 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             texts: list = [None] * n
             refs: list = [None] * n
             offsets: list = [None] * n
+            sm_url: list = [None] * n
+            sm_lastmod: list = [None] * n
+            sm_prio: list = [None] * n
+            sm_freq: list = [None] * n
             for i, u in enumerate(pdf["url_norm"].tolist()):
                 st = synth.status_of(cfg, u)
                 ct = synth.content_type_of(cfg, u)
@@ -68,6 +80,14 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 ctypes[i] = ct
                 links = synth.outlinks_of(cfg, u)
                 outlinks[i] = links
+                kinds[i] = []
+                texts[i] = []
+                refs[i] = []
+                offsets[i] = []
+                sm_url[i] = []
+                sm_lastmod[i] = []
+                sm_prio[i] = []
+                sm_freq[i] = []
                 if st == 200 and ct == "text/html":
                     doc_ids[i] = synth.doc_id_of(u)
                     spans = synth.spans_of(cfg, u)
@@ -75,11 +95,14 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                     texts[i] = [s[1] for s in spans]
                     refs[i] = [s[2] for s in spans]
                     offsets[i] = [s[3] for s in spans]
-                else:
-                    kinds[i] = []
-                    texts[i] = []
-                    refs[i] = []
-                    offsets[i] = []
+                elif st == 200 and ct == "application/xml":
+                    j = synth.is_sitemap_url(cfg, u)
+                    if j is not None:
+                        parsed = parse_sitemap_xml(synth.sitemap_xml(cfg, j))
+                        sm_url[i] = [e["url"] for e in parsed["entries"]]
+                        sm_lastmod[i] = [e["lastmod"] for e in parsed["entries"]]
+                        sm_prio[i] = [e["priority"] for e in parsed["entries"]]
+                        sm_freq[i] = [e["changefreq"] for e in parsed["entries"]]
             pdf = pdf.copy()
             pdf["status"] = pd.array(statuses, dtype="int32")
             pdf["content_type"] = ctypes
@@ -89,6 +112,10 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             pdf["span_text"] = texts
             pdf["span_ref"] = refs
             pdf["span_offset"] = offsets
+            pdf["sm_url"] = sm_url
+            pdf["sm_lastmod"] = sm_lastmod
+            pdf["sm_priority"] = sm_prio
+            pdf["sm_changefreq"] = sm_freq
             yield pdf
 
     raw = scheduled.mapInPandas(do_fetch, schema=out_schema)
@@ -98,6 +125,12 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         F.col("span_ref").alias("media_ref"),
         F.col("span_offset").alias("offset"),
     ).alias("spans")
+    sitemap_entries = F.arrays_zip(
+        F.col("sm_url").alias("url"),
+        F.col("sm_lastmod").alias("lastmod"),
+        F.col("sm_priority").alias("priority"),
+        F.col("sm_changefreq").alias("changefreq"),
+    ).alias("sitemap_entries")
     return raw.select(
         *[c for c in scheduled.columns],
         "status",
@@ -105,4 +138,5 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         "doc_id",
         "outlinks",
         spans,
+        sitemap_entries,
     )

@@ -163,17 +163,38 @@ def run_oracle(
 
             st = synth.status_of(cfg, e.url_norm)
             ct = synth.content_type_of(cfg, e.url_norm)
+            sm_host = synth.is_sitemap_url(cfg, e.url_norm)
             if st == 200 and ct in PARSEABLE_CONTENT_TYPES:
                 pages[e.crawl_id] += 1
                 for idx, raw in enumerate(synth.outlinks_of(cfg, e.url_norm)):
                     admissions.append(
-                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1)
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0)
+                    )
+            elif st == 200 and sm_host is not None:
+                # sitemap: score entries (frozen clock), rank by score,
+                # truncate to max_pages (sitemap_utils.py:374-433)
+                from .functions.sitemaps import sitemap_score_py
+
+                scored = [
+                    (
+                        sitemap_score_py(
+                            en["priority"], en["lastmod"], en["changefreq"],
+                            policy.sitemap_now_date,
+                        ),
+                        en["url"],
+                    )
+                    for en in synth.sitemap_entries(cfg, sm_host)
+                ]
+                scored.sort(key=lambda t: (-t[0], t[1]))
+                for idx, (score, raw) in enumerate(scored[: max_pages[e.crawl_id]]):
+                    admissions.append(
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, score)
                     )
             elif st == 301:
                 redirs = synth.outlinks_of(cfg, e.url_norm)
                 if redirs:
                     admissions.append(
-                        (e.discovery_seq, 0, e.crawl_id, redirs[0], e.depth)
+                        (e.discovery_seq, 0, e.crawl_id, redirs[0], e.depth, 0.0)
                     )
             elif st in RETRYABLE_STATUSES:
                 attempts = e.attempts + 1
@@ -186,7 +207,7 @@ def run_oracle(
         # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
         admissions.sort(key=lambda a: (a[0], a[1]))
         admitted_in_batch: set[tuple] = set()
-        for parent_seq, idx, cid, raw, depth in admissions:
+        for parent_seq, idx, cid, raw, depth, prio in admissions:
             if pages[cid] >= max_pages[cid]:
                 continue
             if not _admissible(raw, allowed[cid]):
@@ -199,7 +220,7 @@ def run_oracle(
             if not synth.robots_allowed(cfg, un):
                 blocked[cid].add(un)
                 continue
-            queued.append(_Entry(cid, un, _host_of_raw(un), depth, 0.0, next_seq))
+            queued.append(_Entry(cid, un, _host_of_raw(un), depth, prio, next_seq))
             next_seq += 1
 
         batch += 1

@@ -57,6 +57,7 @@ from ..functions.urls import canonicalize_url
 from ..operators.admission import admit, dedup_in_batch, filter_unseen, gate_robots
 from ..operators.fetch import fetch_scheduled
 from ..operators.politeness import select_fetch_batch
+from ..functions.sitemaps import sitemap_score_col
 from ..operators.sequence import with_sequence
 from ..policy import PARSEABLE_CONTENT_TYPES, RETRYABLE_STATUSES, CrawlPolicy
 from ..storage import BatchStore
@@ -162,7 +163,7 @@ def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
         F.sha2(F.col("url_norm"), 256).alias("url_fp"),
         "host",
         F.col("depth").cast("int").alias("depth"),
-        F.lit(0.0).alias("priority_score"),
+        F.col("priority_score"),
         "discovery_seq",
         F.lit("queued").alias("state"),
         F.lit(0).alias("attempts"),
@@ -184,6 +185,7 @@ def _admitted_wide(admitted: DataFrame, batch_id: int) -> DataFrame:
         "parent_seq",
         "link_idx",
         "depth",
+        "priority_score",
     )
 
 
@@ -201,11 +203,15 @@ def init_crawl(
     for idx, s in enumerate(ordered):
         seed_url = s["url"] or f"https://{s['domain']}/"
         rows.append((s["crawl_id"], seed_url, canonicalize_url(seed_url), 0, idx, 0))
-    cand = spark.createDataFrame(
-        rows,
-        "crawl_id string, url string, url_norm string, parent_seq long, "
-        "link_idx int, depth int",
-    ).withColumn("host", F.lower(F.regexp_extract("url_norm", r"^[a-z]+://([^/]*)", 1)))
+    cand = (
+        spark.createDataFrame(
+            rows,
+            "crawl_id string, url string, url_norm string, parent_seq long, "
+            "link_idx int, depth int",
+        )
+        .withColumn("host", F.lower(F.regexp_extract("url_norm", r"^[a-z]+://([^/]*)", 1)))
+        .withColumn("priority_score", F.lit(0.0))
+    )
     empty_seen = spark.createDataFrame([], "crawl_id string, url_norm string")
     deduped = dedup_in_batch(
         cand.withColumnRenamed("url", "raw_url")
@@ -361,7 +367,7 @@ def run_crawl(
             F.col("discovery_seq").alias("parent_seq"),
             (F.col("depth") + 1).alias("depth"),
             F.posexplode("outlinks").alias("link_idx", "raw_url"),
-        )
+        ).withColumn("priority_score", F.lit(0.0))
         redirected = fetched.where(
             (F.col("status") == 301) & (F.size("outlinks") > 0)
         ).select(
@@ -370,6 +376,43 @@ def run_crawl(
             F.col("depth"),
             F.lit(0).alias("link_idx"),
             F.col("outlinks").getItem(0).alias("raw_url"),
+            F.lit(0.0).alias("priority_score"),
+        )
+        # S6/Q3/Q4: sitemap-discovered URLs — scored (frozen clock), ranked
+        # by score, truncated to the crawl's max_pages (sitemap_utils.py:
+        # 374-433), admitted with the score as priority_score
+        from pyspark.sql import Window as _W
+
+        sm = (
+            fetched.where(F.size("sitemap_entries") > 0)
+            .select(
+                "crawl_id",
+                F.col("discovery_seq").alias("parent_seq"),
+                (F.col("depth") + 1).alias("depth"),
+                F.explode("sitemap_entries").alias("e"),
+            )
+            .withColumn(
+                "priority_score",
+                sitemap_score_col(
+                    F.col("e.priority"), F.col("e.lastmod"), F.col("e.changefreq"),
+                    F.lit(policy.sitemap_now_date).cast("date"),
+                ),
+            )
+            .withColumn(
+                "link_idx",
+                F.row_number().over(
+                    _W.partitionBy("crawl_id", "parent_seq").orderBy(
+                        F.desc("priority_score"), F.asc("e.url")
+                    )
+                )
+                - 1,
+            )
+            .join(F.broadcast(crawls.select("crawl_id", "max_pages")), "crawl_id")
+            .where(F.col("link_idx") < F.col("max_pages"))
+            .select(
+                "crawl_id", "parent_seq", "depth", "link_idx",
+                F.col("e.url").alias("raw_url"), "priority_score",
+            )
         )
         # active-crawl restriction via broadcast semi-join on the budget
         # state (an isin() literal list would break the plan at 10^4+ crawls)
@@ -377,7 +420,7 @@ def run_crawl(
             "crawl_id"
         )
         candidates = (
-            parsed.unionByName(redirected)
+            parsed.unionByName(redirected).unionByName(sm)
             .join(F.broadcast(active_df), "crawl_id", "left_semi")
             .join(
                 F.broadcast(

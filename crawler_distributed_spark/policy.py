@@ -46,6 +46,9 @@ class CrawlPolicy:
                                      # phase-1 politeness pre-filter (it exists
                                      # to bound per-task work under hot-host
                                      # skew; the phase-2 window is exact)
+    sitemap_now_date: str = "2024-06-01"  # frozen clock for sitemap recency
+                                          # scoring (reference uses now(),
+                                          # SURVEY.md §4 determinism substitution)
     use_bloom: bool = True       # partitioned bloom pre-filter ahead of the
                                  # seen anti-join (bloom misses bypass the join)
     bloom_buckets: int = 64      # bloom bitmap partitioning width

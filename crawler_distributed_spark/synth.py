@@ -108,9 +108,73 @@ def is_homepage(cfg: SynthConfig, url_norm: str):
     return None
 
 
+def sitemap_url(j: int) -> str:
+    return f"https://{host_name(j)}/sitemap.xml"
+
+
+def is_sitemap_url(cfg: SynthConfig, url_norm: str):
+    """Returns host index j if url_norm is a known sitemap URL, else None."""
+    if not url_norm.endswith("/sitemap.xml"):
+        return None
+    rest = url_norm.removeprefix("https://")
+    host, _, path = rest.partition("/")
+    if (
+        path != "sitemap.xml"
+        or not host.startswith("h")
+        or not host.endswith(".example.com")
+    ):
+        return None
+    try:
+        j = int(host[1 : -len(".example.com")])
+    except ValueError:
+        return None
+    return j if 0 <= j < cfg.n_hosts else None
+
+
+_CHANGEFREQS = ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+
+def sitemap_entries(cfg: SynthConfig, j: int, cap: int = 60) -> list[dict]:
+    """Deterministic sitemap entry metadata for host j: first `cap` pages
+    with hash-derived priority / lastmod / changefreq (some fields absent,
+    like real sitemaps)."""
+    out = []
+    for i in range(min(cfg.n_pages(j), cap)):
+        h = _h(cfg.seed, "sm", j, i)
+        entry = {
+            "url": page_url(cfg, j, i),
+            "priority": round((h % 10) / 10.0, 1) if h % 4 != 0 else 0.5,
+            "lastmod": f"2024-{1 + h % 12:02d}-{1 + h % 28:02d}" if h % 3 != 0 else None,
+            "changefreq": _CHANGEFREQS[h % len(_CHANGEFREQS)] if h % 5 != 0 else None,
+        }
+        out.append(entry)
+    return out
+
+
+def sitemap_xml(cfg: SynthConfig, j: int) -> str:
+    """The actual XML document served at sitemap_url(j)."""
+    rows = []
+    for e in sitemap_entries(cfg, j):
+        parts = [f"<loc>{e['url']}</loc>"]
+        if e["lastmod"]:
+            parts.append(f"<lastmod>{e['lastmod']}</lastmod>")
+        parts.append(f"<priority>{e['priority']}</priority>")
+        if e["changefreq"]:
+            parts.append(f"<changefreq>{e['changefreq']}</changefreq>")
+        rows.append("<url>" + "".join(parts) + "</url>")
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(rows)
+        + "</urlset>"
+    )
+
+
 def status_of(cfg: SynthConfig, url_norm: str) -> int:
-    """HTTP status for a URL. Homepages always 200; unknown URLs 404."""
+    """HTTP status for a URL. Homepages/sitemaps always 200; unknown 404."""
     if is_homepage(cfg, url_norm) is not None:
+        return 200
+    if is_sitemap_url(cfg, url_norm) is not None:
         return 200
     ji = parse_page_url(cfg, url_norm)
     if ji is None:
@@ -132,6 +196,8 @@ def status_of(cfg: SynthConfig, url_norm: str) -> int:
 
 
 def content_type_of(cfg: SynthConfig, url_norm: str) -> str:
+    if is_sitemap_url(cfg, url_norm) is not None:
+        return "application/xml"
     if is_homepage(cfg, url_norm) is not None:
         return "text/html"
     y = _h(cfg.seed, "ctype", url_norm) % 100
@@ -330,18 +396,25 @@ def all_urls(cfg: SynthConfig) -> list[str]:
     return urls
 
 
-def seed_rows(cfg: SynthConfig, n_crawls: int | None = None, max_pages: int = 25):
+def seed_rows(
+    cfg: SynthConfig,
+    n_crawls: int | None = None,
+    max_pages: int = 25,
+    use_sitemap: bool = False,
+):
     """Seed-list rows (schemas.SEEDS): one crawl per host, reference-style
-    (one domain per crawl job, crawler/scripts/submit_crawl_job.py:120-150)."""
+    (one domain per crawl job, crawler/scripts/submit_crawl_job.py:120-150).
+    With use_sitemap, the crawl is seeded from the host's sitemap instead
+    of the homepage (domain_spider.py use_sitemap path)."""
     n = n_crawls if n_crawls is not None else cfg.n_hosts
     return [
         {
             "crawl_id": f"crawl-{j:03d}",
             "domain": host_name(j),
-            "url": None,
+            "url": sitemap_url(j) if use_sitemap else None,
             "max_pages": max_pages,
             "single_url": False,
-            "use_sitemap": False,
+            "use_sitemap": use_sitemap,
             "priority": 0,
             "project_id": "synth",
         }
