@@ -198,9 +198,9 @@ def run_oracle(
                     )
             elif st in RETRYABLE_STATUSES:
                 attempts = e.attempts + 1
-                if attempts <= policy.max_attempts:
+                if attempts <= policy.max_attempts_for(st):
                     e.attempts = attempts
-                    e.not_before_batch = batch + policy.backoff(attempts)
+                    e.not_before_batch = batch + policy.backoff(attempts, st)
                     queued.append(e)
             # 200 non-parseable / fatal statuses: terminal, nothing admitted
 

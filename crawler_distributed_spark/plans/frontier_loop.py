@@ -345,18 +345,28 @@ def run_crawl(
                 .localCheckpoint()
             )
 
-        # --- retries (Q7: backoff in batches, bury after max_attempts)
+        # --- retries (Q7/P8: per-status multiplier + per-status retry cap,
+        # backoff in batches, bury past the cap — retry_middleware.py:33-55)
+        from ..policy import RETRY_POLICY
+
         retryable = F.col("status").isin(_RETRYABLE_LIST)
+        mult = F.lit(1.0)
+        max_r = F.lit(0)
+        for st_code, (m, r) in RETRY_POLICY.items():
+            mult = F.when(F.col("status") == st_code, F.lit(m)).otherwise(mult)
+            max_r = F.when(
+                F.col("status") == st_code, F.lit(min(r, policy.max_attempts))
+            ).otherwise(max_r)
         retries = (
-            fetched.where(retryable & (F.col("attempts") < policy.max_attempts))
+            fetched.where(retryable & (F.col("attempts") < max_r))
             .withColumn("attempts", F.col("attempts") + 1)
             .withColumn(
                 "not_before_batch",
                 F.lit(batch)
                 + F.least(
-                    F.pow(F.lit(2.0), F.col("attempts")),
-                    F.lit(float(policy.backoff_cap)),
-                ).cast("long"),
+                    F.ceil(mult * F.pow(F.lit(2.0), F.col("attempts"))),
+                    F.lit(policy.backoff_cap).cast("long"),
+                ),
             )
             .select(*_FRONTIER_COLS)
         )

@@ -22,8 +22,21 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-RETRYABLE_STATUSES = frozenset({408, 429, 500, 502, 503, 504})
-FATAL_STATUSES = frozenset({403, 404})
+# P8: per-status retry policy (middlewares/retry_middleware.py:33-55):
+# status -> (backoff multiplier, max attempts). 403 is retryable with a
+# forced strategy escalation in the reference; 404 is terminal.
+RETRY_POLICY: dict[int, tuple[float, int]] = {
+    500: (1.5, 3),
+    502: (1.5, 3),
+    504: (1.5, 3),
+    503: (2.0, 3),
+    408: (1.2, 3),
+    429: (3.0, 2),
+    403: (2.0, 2),
+}
+
+RETRYABLE_STATUSES = frozenset(RETRY_POLICY)
+FATAL_STATUSES = frozenset({404})
 HTML_CONTENT_TYPES = frozenset(
     {"text/html", "application/xhtml+xml", "application/xml", "text/plain"}
 )
@@ -58,9 +71,18 @@ class CrawlPolicy:
                                              # True compresses the budget tail —
                                              # used by throughput benches)
 
-    def backoff(self, attempts: int) -> int:
-        """Batches to wait before the next attempt (attempts >= 1)."""
-        return min(2**attempts, self.backoff_cap)
+    def backoff(self, attempts: int, status: int | None = None) -> int:
+        """Batches to wait before the next attempt (attempts >= 1).
+        Per-status multiplier from RETRY_POLICY (jitter dropped —
+        SURVEY.md §4 determinism substitution)."""
+        import math
+
+        mult = RETRY_POLICY.get(status, (1.0, self.max_attempts))[0] if status else 1.0
+        return min(int(math.ceil(mult * (2.0**attempts))), self.backoff_cap)
+
+    def max_attempts_for(self, status: int) -> int:
+        """Global cap ∧ per-status cap (retry_middleware.py tables)."""
+        return min(self.max_attempts, RETRY_POLICY.get(status, (1.0, 0))[1])
 
 
 # the deterministic scheduling order (SURVEY.md §2.4 Q5): lower depth first,
