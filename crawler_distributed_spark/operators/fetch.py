@@ -34,6 +34,7 @@ _RAW_FIELDS = [
     T.StructField("span_text", T.ArrayType(T.StringType()), False),
     T.StructField("span_ref", T.ArrayType(T.StringType()), False),
     T.StructField("span_offset", T.ArrayType(T.IntegerType()), False),
+    T.StructField("latency_class", T.IntegerType(), False),
     # sitemap-entry metadata (S6): filled when the fetched URL is a
     # sitemap — the served XML is parsed right here (functions/sitemaps)
     T.StructField("sm_url", T.ArrayType(T.StringType()), False),
@@ -73,11 +74,13 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             sm_lastmod: list = [None] * n
             sm_prio: list = [None] * n
             sm_freq: list = [None] * n
+            lat: list = [0] * n
             for i, u in enumerate(pdf["url_norm"].tolist()):
                 st = synth.status_of(cfg, u)
                 ct = synth.content_type_of(cfg, u)
                 statuses[i] = st
                 ctypes[i] = ct
+                lat[i] = synth.latency_class_of(cfg, u)
                 links = synth.outlinks_of(cfg, u)
                 outlinks[i] = links
                 kinds[i] = []
@@ -116,6 +119,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             pdf["sm_lastmod"] = sm_lastmod
             pdf["sm_priority"] = sm_prio
             pdf["sm_changefreq"] = sm_freq
+            pdf["latency_class"] = pd.array(lat, dtype="int32")
             yield pdf
 
     raw = scheduled.mapInPandas(do_fetch, schema=out_schema)
@@ -139,4 +143,5 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         "outlinks",
         spans,
         sitemap_entries,
+        "latency_class",
     )

@@ -67,6 +67,7 @@ def select_fetch_batch(
     budgets: DataFrame,
     policy: CrawlPolicy,
     n_eligible: int | None = None,
+    host_quotas: DataFrame | None = None,
 ) -> DataFrame:
     """Pick this batch's fetch set from eligible frontier rows.
 
@@ -99,11 +100,15 @@ def select_fetch_batch(
     host_w = Window.partitionBy("crawl_id", "host").orderBy(
         F.col("depth").asc(), F.col("priority_score").desc(), F.col("discovery_seq").asc()
     )
-    phase2 = (
-        phase1.withColumn("_rn", F.row_number().over(host_w))
-        .where(F.col("_rn") <= policy.quota_per_host)
-        .drop("_rn")
-    )
+    ranked = phase1.withColumn("_rn", F.row_number().over(host_w))
+    if host_quotas is not None:
+        # P2 autothrottle analog: per-host quota (≤ default) from the EWMA
+        # latency state; phase 1's default-quota pre-filter stays a superset
+        ranked = ranked.join(F.broadcast(host_quotas), "host", "left")
+        quota_col = F.coalesce(F.col("quota_h"), F.lit(policy.quota_per_host))
+        phase2 = ranked.where(F.col("_rn") <= quota_col).drop("_rn", "quota_h")
+    else:
+        phase2 = ranked.where(F.col("_rn") <= policy.quota_per_host).drop("_rn")
 
     crawl_w = Window.partitionBy("crawl_id").orderBy(
         F.col("depth").asc(), F.col("priority_score").desc(), F.col("discovery_seq").asc()

@@ -131,6 +131,12 @@ class CrawlRunResult:
         return self.store.read_appendonly(spark, self.last_batch, "lineage")
 
 
+def _table_exists(store: BatchStore, batch_id: int, table: str) -> bool:
+    import os
+
+    return os.path.isdir(store.table_path(batch_id, table))
+
+
 def _pages_dict(budget_state: DataFrame) -> dict:
     return {r["crawl_id"]: r["pages"] for r in budget_state.collect()}
 
@@ -281,6 +287,17 @@ def run_crawl(
 
     # partitioned bloom filter over the seen set (north rule): rebuilt from
     # the admitted deltas on start/resume, OR-merged with each batch's delta
+    # P2 autothrottle state: per-host EWMA of fetch latency_class
+    host_lat = (
+        store.read_table(spark, last, "hostlat")
+        if policy.autothrottle and _table_exists(store, last, "hostlat")
+        else (
+            spark.createDataFrame([], "host string, ewma double")
+            if policy.autothrottle
+            else None
+        )
+    )
+
     bloom = None
     if policy.use_bloom:
         seen_all = store.read_appendonly(spark, last, "admitted")
@@ -315,7 +332,18 @@ def run_crawl(
             break
 
         eligible = avail.where(F.col("not_before_batch") <= batch).drop("remaining")
-        scheduled = select_fetch_batch(eligible, budgets, policy, n_eligible=n_elig)
+        host_quotas = None
+        if policy.autothrottle:
+            host_quotas = host_lat.select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(policy.quota_per_host) / (F.lit(1.0) + F.col("ewma"))).cast("int"),
+                ).alias("quota_h"),
+            )
+        scheduled = select_fetch_batch(
+            eligible, budgets, policy, n_eligible=n_elig, host_quotas=host_quotas
+        )
 
         # materialization #1: politeness + fetch, straight into parquet
         with _timed("fetch+schedule write"):
@@ -492,6 +520,26 @@ def run_crawl(
         with _timed("lineage write"):
             store.write_table(lineage, batch, "lineage")
 
+        if policy.autothrottle:
+            # EWMA update from this batch's observed latencies (all
+            # scheduled fetches of the host)
+            obs = fetched.groupBy("host").agg(F.avg("latency_class").alias("_m"))
+            host_lat = (
+                host_lat.join(obs, "host", "full")
+                .select(
+                    "host",
+                    F.when(
+                        F.col("ewma").isNotNull() & F.col("_m").isNotNull(),
+                        F.lit(policy.ewma_alpha) * F.col("_m")
+                        + F.lit(1.0 - policy.ewma_alpha) * F.col("ewma"),
+                    )
+                    .when(F.col("_m").isNotNull(), F.col("_m"))
+                    .otherwise(F.col("ewma"))
+                    .alias("ewma"),
+                )
+                .localCheckpoint()
+            )
+
         if policy.use_bloom:
             with _timed("bloom merge"):
                 delta = build_bloom_delta(
@@ -507,6 +555,8 @@ def run_crawl(
         if durable:
             store.write_table(frontier, batch, "frontier")
             store.write_table(budget_state, batch, "budget")
+            if policy.autothrottle:
+                store.write_table(host_lat, batch, "hostlat")
             store.commit(batch, {"next_seq": next_seq})
             last_committed = batch
 

@@ -59,6 +59,10 @@ class CrawlPolicy:
                                      # phase-1 politeness pre-filter (it exists
                                      # to bound per-task work under hot-host
                                      # skew; the phase-2 window is exact)
+    autothrottle: bool = False   # P2 analog: per-host EWMA latency scales
+                                 # next batch's quota (deterministic; default
+                                 # off to keep the reference-politeness trace)
+    ewma_alpha: float = 0.5      # EWMA smoothing for autothrottle
     sitemap_now_date: str = "2024-06-01"  # frozen clock for sitemap recency
                                           # scoring (reference uses now(),
                                           # SURVEY.md §4 determinism substitution)

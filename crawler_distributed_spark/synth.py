@@ -371,6 +371,11 @@ def doc_id_of(url_norm: str) -> str:
     return url_fingerprint(url_norm)
 
 
+def latency_class_of(cfg: SynthConfig, url_norm: str) -> int:
+    """Synthetic fetch latency bucket 0..3 (autothrottle-analog input)."""
+    return _h(cfg.seed, "lat", url_norm) % 4
+
+
 def fetch_one(cfg: SynthConfig, url_norm: str) -> dict:
     """The full deterministic fetch result for one canonical URL."""
     st = status_of(cfg, url_norm)
@@ -383,7 +388,7 @@ def fetch_one(cfg: SynthConfig, url_norm: str) -> dict:
         "doc_id": doc_id_of(url_norm) if html else None,
         "outlinks": outlinks_of(cfg, url_norm),
         "robots_allowed": robots_allowed(cfg, url_norm),
-        "latency_class": _h(cfg.seed, "lat", url_norm) % 4,
+        "latency_class": latency_class_of(cfg, url_norm),
     }
 
 
