@@ -424,40 +424,52 @@ def q_crawl_trace_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature duplicate groups (rows-only; signature math is
-    engine-specific, correctness property-tested in pytest)."""
+    """SimHash signature duplicate groups. Portable phash60 token hashing
+    (functions/hashing.py) so the DuckDB oracle recomputes the identical
+    32-bit signatures; ids emitted as a comma-joined sorted string."""
     from crawler_distributed_spark.pipelines.dedup import simhash_dup_groups
 
     d = _load(spark, sf_dir, "documents")["documents"]
     return simhash_dup_groups(
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        bits=32,
+        portable=True,
     ).orderBy("simhash")
+
+
+_LSH_TOPK_BITS = 8
+_NEAR_DUP_BITS = 6
+_NEAR_DUP_BANDS = 2
+_EMB_DIM = 64  # dim of the driver's embeddings tables (all SFs)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (the ANN scale path; recall
-    vs brute force asserted in pytest)."""
+    vs brute force asserted in pytest). Hyperplanes are integer-valued
+    md5-derived constants, so the DuckDB oracle recomputes the identical
+    bucket signatures and in-bucket cosine scores."""
     from crawler_distributed_spark.pipelines.similarity import lsh_topk
 
     e = _load(spark, sf_dir, "embeddings")["embeddings"]
-    dim = len(e.select("embedding").first()["embedding"])
     queries = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, queries, dim=dim, k=5, bits=8).orderBy("query_id", "rank")
+    return lsh_topk(e, queries, dim=_EMB_DIM, k=5, bits=_LSH_TOPK_BITS).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
+    (2 bands × 6 bits; a pair is a candidate if it collides in any band).
+    The synthetic embeddings are near-orthogonal (max pairwise cos ~0.51)
+    so the "near-dup" threshold for this data sits at 0.35."""
     from crawler_distributed_spark.pipelines.similarity import embedding_near_dup_pairs
 
     e = _load(spark, sf_dir, "embeddings")["embeddings"]
-    dim = len(e.select("embedding").first()["embedding"])
-    # the synthetic embeddings are near-orthogonal (max pairwise cos ~0.51)
-    # so the "near-dup" band for this data sits at 0.35
-    return embedding_near_dup_pairs(e, dim=dim, threshold=0.35, bits=6).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dup_pairs(
+        e, dim=_EMB_DIM, threshold=0.35, bits=_NEAR_DUP_BITS, bands=_NEAR_DUP_BANDS
+    ).orderBy("id_a", "id_b")
 
 
 def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,14 +532,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs over documents (rows-only;
-    exactness property-tested in pytest)."""
+    """MinHash-LSH near-dup candidate pairs over documents. Portable
+    phash60 signature/band hashing so the DuckDB oracle replicates the
+    banding exactly; degenerate band buckets capped at 100 members."""
     from crawler_distributed_spark.pipelines.dedup import minhash_near_dup_pairs
 
     d = _load(spark, sf_dir, "documents")["documents"]
     return minhash_near_dup_pairs(
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        portable=True,
+        max_bucket=100,
     ).orderBy("doc_a", "doc_b")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the MinHash-LSH candidate pairs — the
+    verify stage of the near-dup pipeline (candidates → shingles join,
+    never quadratic in hot-shingle frequency)."""
+    from crawler_distributed_spark.pipelines.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    cand = minhash_near_dup_pairs(d, portable=True, max_bucket=100)
+    return ngram_jaccard_pairs(d, threshold=0.1, candidates=cand).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -568,12 +601,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "crawl_trace_synthetic": q_crawl_trace_synthetic,
         "minhash_near_dup": q_minhash_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_dup_groups": q_simhash_dup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "span_extraction": q_span_extraction,
         "multimodal_features": q_multimodal_features,
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle-SQL generators (portable-hash twins of the engine operators)
+# ---------------------------------------------------------------------------
+
+
+def _phash_sql(expr: str) -> str:
+    """DuckDB twin of functions/hashing.py::phash60."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# Shared CTE block: word-3-gram shingles -> 16 portable minhashes -> 4 bands
+# (phash60 band hash) -> bucket-capped LSH candidate pairs. Mirrors
+# pipelines/dedup.py::minhash_near_dup_pairs(portable=True, max_bucket=100).
+_MINHASH_CTES = """
+        toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
+                 FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
+                             i -> array_to_string(ts[i + 1 : i + 3], ' '))) AS shingle
+               FROM toks),
+        mh AS (SELECT doc_id, k.k AS k,
+                      min(('0x' || substr(md5(k.k::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS mh
+               FROM sh CROSS JOIN range(16) k(k)
+               GROUP BY doc_id, k.k),
+        bands AS (SELECT doc_id, (k // 4) AS band_id,
+                         ('0x' || substr(md5(string_agg(mh::VARCHAR, '|' ORDER BY k)), 1, 15))::BIGINT AS band_hash
+                  FROM mh GROUP BY doc_id, (k // 4)),
+        capped AS (SELECT doc_id, band_id, band_hash FROM (
+                     SELECT doc_id, band_id, band_hash,
+                            count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+                     FROM bands) WHERE bn <= 100),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM capped x JOIN capped y
+                    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+                   AND x.doc_id < y.doc_id)
+"""
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """Left-associated double dot product — bit-identical to the engine's
+    aggregate(zip_with(...)) fold (pipelines/similarity.py::_dot)."""
+    return " + ".join(f"{a}[{d}]::DOUBLE * {b}[{d}]::DOUBLE" for d in range(1, dim + 1))
+
+
+def _cos_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    return (
+        f"round(({_dot_sql(a, b, dim)}) / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})), 6)"
+    )
+
+
+def _sig_sql(emb: str, plane_indices: list[int], dim: int = _EMB_DIM) -> str:
+    """DuckDB twin of pipelines/similarity.py::signature_col over the
+    md5-derived integer hyperplanes (same literal constants)."""
+    from crawler_distributed_spark.pipelines.similarity import _hyperplane
+
+    terms = []
+    for i, pidx in enumerate(plane_indices):
+        plane = _hyperplane(dim, pidx)
+        dot = " + ".join(
+            f"{emb}[{d + 1}]::DOUBLE * ({int(c)}.0)" for d, c in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _multimodal_feat_sql(dims: int = 8) -> str:
+    """DuckDB twin of pipelines/multimodal.py::_fake_decode_feature summed:
+    each dim is rounded through FLOAT4 (the engine stores float32)."""
+    terms = " + ".join(
+        f"CAST(CAST(((h >> {3 * i}) & 255) / 255.0 AS FLOAT) AS DOUBLE)"
+        for i in range(dims)
+    )
+    return f"round(0.0 + {terms}, 4)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -640,9 +750,9 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS (SELECT {_URL_SQL} AS url FROM documents)
             SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host,
                    sum(CASE WHEN url SIMILAR TO '.*\\.(pdf|jpg)'
-                             OR url LIKE '%?page=2' THEN 0 ELSE 1 END) AS admitted,
+                             OR url LIKE '%?page=2' THEN 0 ELSE 1 END)::BIGINT AS admitted,
                    sum(CASE WHEN url SIMILAR TO '.*\\.(pdf|jpg)'
-                             OR url LIKE '%?page=2' THEN 1 ELSE 0 END) AS filtered
+                             OR url LIKE '%?page=2' THEN 1 ELSE 0 END)::BIGINT AS filtered
             FROM u GROUP BY 1 ORDER BY host
         """,
         "url_normalize_hosts": f"""
@@ -679,7 +789,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT lang, count(*) AS docs,
-                   sum(len(string_split(text, ' '))) AS tokens,
+                   sum(len(string_split(text, ' ')))::BIGINT AS tokens,
                    round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -731,7 +841,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_split_to_array(trim(text), '\\s+'))
                        + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g'))
                        + len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                         x -> length(x) > 8))) AS bpe_tokens,
+                                         x -> length(x) > 8)))::BIGINT AS bpe_tokens,
                    count(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -744,9 +854,95 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT f, count(*) AS n FROM fp GROUP BY f)
             SELECT n, count(*) AS groups FROM g GROUP BY n ORDER BY n
         """,
-        # crawl_trace_synthetic / minhash_near_dup / simhash_dup_groups /
-        # ann_lsh_topk / embedding_near_dup / span_extraction /
-        # multimodal_features: non-SQL-expressible (iterative frontier loop,
-        # engine-hash LSH banding/signatures, span-array extraction, binary
-        # decode plumbing) — rows-only here, oracle-verified in pytest.
+        "simhash_dup_groups": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+              FROM documents),
+            hh AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                   FROM toks),
+            votes AS (
+              SELECT doc_id, i.i AS i,
+                     sum(CASE WHEN (h >> i.i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hh CROSS JOIN range(32) i(i)
+              GROUP BY doc_id, i.i),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT simhash, count(*) AS n,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS ids
+            FROM sig GROUP BY simhash HAVING count(*) > 1
+            ORDER BY simhash
+        """,
+        "minhash_near_dup": f"""
+            WITH {_MINHASH_CTES}
+            SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard": f"""
+            WITH {_MINHASH_CTES},
+            shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+            inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+                      FROM pairs p
+                      JOIN shd xa ON xa.doc_id = p.doc_a
+                      JOIN shd xb ON xb.doc_id = p.doc_b AND xb.shingle = xa.shingle
+                      GROUP BY p.doc_a, p.doc_b)
+            SELECT i.doc_a, i.doc_b,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.1
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_lsh_topk": f"""
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                     {_sig_sql('embedding', list(range(_LSH_TOPK_BITS)))} AS s
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qemb, s
+                  FROM sig WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     {_cos_sql('c.embedding', 'q.qemb')} AS cos_sim
+              FROM sig c JOIN q ON c.s = q.s),
+            r AS (SELECT query_id, vec_id, cos_sim,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_sim DESC, vec_id) AS rank
+                  FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_near_dup": f"""
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     {_sig_sql('embedding', list(range(0, _NEAR_DUP_BITS)))} AS s0,
+                     {_sig_sql('embedding', list(range(_NEAR_DUP_BITS, 2 * _NEAR_DUP_BITS)))} AS s1
+              FROM embeddings),
+            b AS (SELECT vec_id, embedding, 0 AS band_id, s0 AS sig FROM s
+                  UNION ALL
+                  SELECT vec_id, embedding, 1 AS band_id, s1 AS sig FROM s),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, y.vec_id AS id_b,
+                     {_cos_sql('a.embedding', 'y.embedding')} AS cos_sim
+              FROM b a JOIN b y
+                ON a.band_id = y.band_id AND a.sig = y.sig AND a.vec_id < y.vec_id)
+            SELECT id_a, id_b, cos_sim FROM pairs
+            WHERE cos_sim >= 0.35 ORDER BY id_a, id_b
+        """,
+        "multimodal_features": f"""
+            WITH m AS (
+              SELECT printf('m%05d', i) AS media_id,
+                     repeat('media-' || i::VARCHAR, (4 + (i % 7))::INT) AS p
+              FROM range(60) t(i)),
+            h AS (SELECT media_id,
+                         ('0x' || substr(md5(p), 1, 15))::BIGINT AS h
+                  FROM m)
+            SELECT media_id, {_multimodal_feat_sql(8)} AS feat_sum
+            FROM h ORDER BY media_id
+        """,
+        # crawl_trace_synthetic / span_extraction: oracle entries are built
+        # from shipped parquet (pure-Python oracle trace / synthesized span
+        # docs) — see the dict updates below their q_ functions.
     }

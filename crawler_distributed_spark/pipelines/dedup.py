@@ -2,21 +2,32 @@
 
 All operators are pure DataFrame compositions (JVM-side, codegen'd); no
 Python in any hot path. Hashing is ``xxhash64`` with per-permutation seed
-literals, so results are deterministic and parallelism-independent.
+literals by default; every operator also takes ``portable=True`` to hash
+with :func:`functions.hashing.phash60` (md5-derived 60-bit) instead, so
+the driver's DuckDB oracle can recompute signatures bit-identically.
+Results are deterministic and parallelism-independent either way.
 
 Scale notes:
 - exact dedup: one hash-shuffle on the content hash; map-side partial agg.
 - MinHash: shingling + K min-aggregations happen in ONE groupBy pass
   (explode → groupBy(doc) → K min() columns); the LSH self-join shuffles
-  on (band_id, band_hash) buckets only — never all-pairs.
-- SimHash: 64-bit signature via bit-vote aggregation; near-dup = equal
+  on (band_id, band_hash) buckets only — never all-pairs. ``max_bucket``
+  drops degenerate hot buckets (boilerplate bands) so no single bucket
+  can go quadratic at corpus scale.
+- SimHash: b-bit signature via bit-vote aggregation; near-dup = equal
   signature bucket join (Hamming radius 0) or banded sub-keys (radius>0).
+- n-gram Jaccard: exact intersection counted by joining the candidate
+  pairs TO the shingle table (candidates → shingles), so the cost is
+  O(|candidates| · shingles/doc), never quadratic in hot-shingle
+  frequency.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from crawler_distributed_spark.functions.hashing import phash60
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,21 +47,52 @@ def _shingles(text_col: str, n: int = 3):
     ), toks
 
 
+def _perm_hash(k: int, portable: bool) -> Column:
+    if portable:
+        return phash60(F.lit(str(k)), F.col("shingle"))
+    return F.xxhash64("shingle", F.lit(k))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, mh0..mhK-1): MinHash signature per doc, one shuffle."""
     shingle_expr, _ = _shingles(text_col, shingle_n)
     exploded = docs.select(id_col, F.explode(shingle_expr).alias("shingle"))
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"mh{k}")
-        for k in range(num_hashes)
+        F.min(_perm_hash(k, portable)).alias(f"mh{k}") for k in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band_id, band_hash): one row per (doc, band) — the LSH key."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, portable)
+    band_cols = []
+    for b in range(bands):
+        members = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        if portable:
+            bh = phash60(*[F.col(m).cast("string") for m in members])
+        else:
+            bh = F.xxhash64(*members)
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), bh.alias("band_hash")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
 
 def minhash_near_dup_pairs(
@@ -60,30 +102,31 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one full band.
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct. The self-join is
     bucketed on (band_id, band_hash) — cost scales with bucket sizes, not
-    |docs|^2.
+    |docs|^2. ``max_bucket`` (recommended at corpus scale) drops buckets
+    with more members than the cap: a band shared by thousands of docs is
+    boilerplate, not near-duplication, and would otherwise produce a
+    quadratic task.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        members = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*members).alias("band_hash"))
+    banded = minhash_band_buckets(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, portable
+    )
+    if max_bucket is not None:
+        sizes = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_id", "band_hash")
         )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
-    )
-    b_side = banded.select(
-        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
-    )
+        banded = banded.join(sizes, ["band_id", "band_hash"], "left_semi")
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    b_side = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     return (
         a.join(b_side, ["band_id", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -97,13 +140,20 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-token hash bits vote +1/-1, sign of the
-    per-bit sum becomes the signature bit. One explode + one groupBy."""
+    """b-bit SimHash per doc: per-token hash bits vote +1/-1, sign of the
+    per-bit sum becomes the signature bit. One explode + one groupBy.
+
+    ``portable=True`` hashes tokens with phash60 (60 usable bits, so pass
+    bits<=60) — DuckDB computes the identical signature.
+    """
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    exploded = docs.select(id_col, F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
+    exploded = docs.select(id_col, F.explode(toks).alias("tok"))
+    h = phash60(F.col("tok")) if portable else F.xxhash64("tok")
+    exploded = exploded.withColumn("h", h)
     # vote per bit: shiftright(h, i) & 1 -> {0,1} -> {-1,+1}
     votes = [
         F.sum(
@@ -121,13 +171,25 @@ def simhash_signatures(
 
 
 def simhash_dup_groups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """Docs sharing an identical SimHash signature (Hamming radius 0)."""
-    sig = simhash_signatures(docs, id_col, text_col)
+    """Docs sharing an identical SimHash signature (Hamming radius 0).
+
+    ``ids`` is a comma-joined sorted id string (scalar, not an array) so
+    downstream canonicalizers and SQL oracles can sort/hash rows.
+    """
+    sig = simhash_signatures(docs, id_col, text_col, bits, portable)
+    ids = F.concat_ws(
+        ",",
+        F.transform(F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string")),
+    )
     return (
         sig.groupBy("simhash")
-        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(F.count("*").alias("n"), ids.alias("ids"))
         .where(F.col("n") > 1)
     )
 
@@ -139,26 +201,32 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (default: MinHash-LSH
-    candidates — never all-pairs). |A∩B| and |A∪B| computed via a
-    shingle-level join, all JVM-side."""
+    candidates — never all-pairs).
+
+    The intersection is counted by joining the candidate PAIRS to the
+    shingle table (candidates → shingles on each side), so the pair space
+    is fixed by the LSH stage up front; a hot shingle shared by N docs
+    costs O(N), not O(N²).
+    """
     if candidates is None:
-        candidates = minhash_near_dup_pairs(docs, id_col, text_col, shingle_n=shingle_n)
+        candidates = minhash_near_dup_pairs(
+            docs, id_col, text_col, shingle_n=shingle_n, portable=portable
+        )
     shingle_expr, _ = _shingles(text_col, shingle_n)
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingle_expr)).alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # count common shingles via a shingle-keyed join, restricted to LSH
-    # candidates (left_semi) so the pair space never goes quadratic
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x." + id_col) < F.col("y." + id_col))
-        .groupBy(F.col("x." + id_col).alias("doc_a"), F.col("y." + id_col).alias("doc_b"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))

@@ -54,12 +54,15 @@ REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg are not in this container
 
 
 def _fake_decode_feature(payload: bytes | None, dims: int = 8) -> list[float]:
-    """Deterministic stand-in for decode→feature-extract: a seeded hash of
-    the payload bytes, shaped like an embedding. Swap for the real kernel
+    """Deterministic stand-in for decode→feature-extract: an md5-derived
+    hash of the payload bytes, shaped like an embedding. md5 (rather than
+    crc32) so a SQL oracle can recompute the identical fake features:
+    DuckDB twin = ``('0x' || substr(md5(payload), 1, 15))::BIGINT`` then
+    ``((h >> (i*3)) & 255) / 255.0`` per dim. Swap for the real kernel
     (PIL / torchvision / ffmpeg) where codecs exist."""
-    import zlib
+    import hashlib
 
-    base = zlib.crc32(payload or b"")
+    base = int(hashlib.md5(payload or b"").hexdigest()[:15], 16)
     return [((base >> (i * 3)) & 0xFF) / 255.0 for i in range(dims)]
 
 

@@ -47,7 +47,8 @@ def test_simhash_exact_dups_share_signature(spark, docs):
     assert sigs[0] == sigs[1]
     assert sigs[0] != sigs[4]
     groups = dedup.simhash_dup_groups(docs).collect()
-    assert any(set(g.ids) >= {0, 1} for g in groups)
+    # ids is a comma-joined sorted string (scalar) for oracle/canonicalizer use
+    assert any(set(map(int, g.ids.split(","))) >= {0, 1} for g in groups)
 
 
 def test_ngram_jaccard(spark, docs):
