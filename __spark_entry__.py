@@ -32,7 +32,6 @@ Operator coverage map (name → SURVEY §2 item):
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -402,25 +401,63 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- non-SQL-expressible (rows-only checks) ---------------------------------
 
 
+_SHIP_DIR = "/tmp/spark_graft_oracle"
+_TRACE_CFG = dict(n_hosts=2, pages_base=8, hot_factor=2, branching=4)
+_TRACE_MAX_PAGES = 5
+_SPAN_CFG = dict(n_hosts=3, pages_base=20, hot_factor=2, branching=5)
+
+
+def _ship_oracle_trace() -> str:
+    """Run the pure-Python reference-semantics oracle (oracle.py) on the
+    trace config and ship its trace as parquet, so the driver's DuckDB
+    side can diff the Spark engine's trace against an INDEPENDENT
+    implementation of the same crawl semantics."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.oracle import run_oracle
+    from crawler_distributed_spark.policy import CrawlPolicy
+
+    path = os.path.join(_SHIP_DIR, "oracle_trace.parquet")
+    os.makedirs(_SHIP_DIR, exist_ok=True)
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    res = run_oracle(cfg, synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES), CrawlPolicy())
+    cols = list(zip(*res.trace)) or [[]] * 6
+    table = pa.table(
+        {
+            "crawl_id": pa.array(cols[0], pa.string()),
+            "batch_id": pa.array(cols[1], pa.int64()),
+            "seq_in_batch": pa.array(cols[2], pa.int32()),
+            "url_norm": pa.array(cols[3], pa.string()),
+            "host": pa.array(cols[4], pa.string()),
+            "depth": pa.array(cols[5], pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
 def q_crawl_trace_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator: the full frontier loop on a small synthetic
-    web; returns the ordering trace. Oracle-verified in pytest
-    (tests/test_trace_equality.py), rows-only here."""
+    web; returns the ordering trace. The DuckDB oracle reads the shipped
+    pure-Python oracle trace (same semantics, independent implementation)
+    — also asserted in pytest (tests/test_trace_equality.py)."""
+    import shutil
+
     from crawler_distributed_spark import synth
     from crawler_distributed_spark.plans.frontier_loop import run_crawl
     from crawler_distributed_spark.policy import CrawlPolicy
 
-    cfg = synth.SynthConfig(n_hosts=2, pages_base=8, hot_factor=2, branching=4)
-    seeds = synth.seed_rows(cfg, max_pages=5)
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    seeds = synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES)
     robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
-    with tempfile.TemporaryDirectory() as d:
-        res = run_crawl(spark, cfg, seeds, robots, d, CrawlPolicy())
-        trace = res.trace(spark)
-        # materialize before the tmpdir disappears
-        rows = trace.collect()
-    return spark.createDataFrame(rows, trace.schema).orderBy(
-        "batch_id", "crawl_id", "seq_in_batch"
-    )
+    ck = f"{_SHIP_DIR}/ck_trace"
+    shutil.rmtree(ck, ignore_errors=True)  # our own scratch dir, always fresh
+    res = run_crawl(spark, cfg, seeds, robots, ck, CrawlPolicy())
+    return res.trace(spark).orderBy("batch_id", "crawl_id", "seq_in_batch")
 
 
 def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,13 +509,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The W1-W18 extraction surface over interleaved span docs (rows-only;
-    per-family equality vs the span oracle asserted in pytest)."""
-    from crawler_distributed_spark import synth
-    from crawler_distributed_spark.extract.spans import parse_docs
+def _ship_span_docs() -> str:
+    """Synthesize the span-doc corpus (deterministic, FIXTURES.md) and ship
+    it as parquet — BOTH the Spark query and the DuckDB oracle read this
+    file, then compute the extraction fields independently."""
+    import os
 
-    cfg = synth.SynthConfig(n_hosts=3, pages_base=20, hot_factor=2, branching=5)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_distributed_spark import synth
+
+    path = os.path.join(_SHIP_DIR, "span_docs.parquet")
+    os.makedirs(_SHIP_DIR, exist_ok=True)
+    cfg = synth.SynthConfig(**_SPAN_CFG)
     rows = []
     for u in synth.all_urls(cfg):
         spans = synth.spans_of(cfg, u)
@@ -495,11 +539,36 @@ def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
         )
-    docs = spark.createDataFrame(
-        rows,
-        "doc_id string, url_norm string, host string, "
-        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    span_t = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
     )
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "url_norm": pa.array([r[1] for r in rows], pa.string()),
+            "host": pa.array([r[2] for r in rows], pa.string()),
+            "spans": pa.array([r[3] for r in rows], span_t),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W1-W18 extraction surface over interleaved span docs. The DuckDB
+    oracle recomputes every output field from the same shipped parquet
+    with list/lambda SQL; per-family equality vs the span oracle is also
+    asserted in pytest."""
+    from crawler_distributed_spark.extract.spans import parse_docs
+
+    docs = spark.read.parquet(_ship_span_docs())
     parsed = parse_docs(docs)
     return parsed.select(
         "doc_id",
@@ -687,6 +756,11 @@ def _multimodal_feat_sql(dims: int = 8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # ship the independent-oracle fixtures so the SQL below is runnable
+    # regardless of whether the Spark queries have executed yet (both
+    # writers are deterministic and idempotent)
+    trace_path = _ship_oracle_trace()
+    span_path = _ship_span_docs()
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -942,7 +1016,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, {_multimodal_feat_sql(8)} AS feat_sum
             FROM h ORDER BY media_id
         """,
-        # crawl_trace_synthetic / span_extraction: oracle entries are built
-        # from shipped parquet (pure-Python oracle trace / synthesized span
-        # docs) — see the dict updates below their q_ functions.
+        # crawl_trace_synthetic: the SQL side reads the PURE-PYTHON oracle's
+        # trace (independent implementation of the reference crawl
+        # semantics) — a true cross-implementation diff of the entire loop.
+        "crawl_trace_synthetic": f"""
+            SELECT crawl_id, batch_id, seq_in_batch, url_norm, host, depth
+            FROM read_parquet('{trace_path}')
+            ORDER BY batch_id, crawl_id, seq_in_batch
+        """,
+        # span_extraction: both sides read the same shipped span-doc corpus;
+        # DuckDB recomputes every field with list/lambda SQL.
+        "span_extraction": f"""
+            WITH d AS (SELECT * FROM read_parquet('{span_path}'))
+            SELECT doc_id,
+                   (list_filter(spans, s -> s.kind = 'title')[1]).text AS title,
+                   len(list_filter(spans, s -> s.kind = 'heading')) AS n_headings,
+                   len(list_filter(spans, s -> s.kind = 'link')) AS n_links,
+                   len(list_filter(spans, s -> s.kind = 'link' AND
+                        (starts_with(s.media_ref, 'https://' || host) OR
+                         starts_with(s.media_ref, 'http://' || host) OR
+                         NOT contains(s.media_ref, '://')))) AS n_internal,
+                   len(list_filter(spans, s -> s.kind = 'image')) AS n_images,
+                   len(list_filter(spans, s -> s.kind = 'script')) AS n_scripts,
+                   coalesce(list_sum(list_transform(
+                       list_filter(spans, s -> s.kind IN ('text', 'heading', 'title')
+                                             AND s.text IS NOT NULL),
+                       s -> len(regexp_split_to_array(s.text, '\\s+')))), 0)::BIGINT AS words,
+                   len(list_filter(string_split(
+                       regexp_replace(regexp_replace(url_norm, '^[a-z]+://[^/]*', ''),
+                                      '[?#].*$', ''), '/'),
+                       seg -> length(seg) > 0)) AS uri_depth,
+                   NOT contains(coalesce(array_to_string(list_transform(
+                       list_filter(spans, s -> s.kind = 'meta'
+                                             AND starts_with(s.text, 'robots:')),
+                       s -> s.text), ','), ''), 'noindex') AS indexable
+            FROM d ORDER BY doc_id
+        """,
+        # multimodal_features / ann_lsh_topk / embedding_near_dup /
+        # minhash_near_dup / simhash_dup_groups: fully recomputed in SQL
+        # above — every queries() entry now has a DuckDB oracle.
     }
