@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import synth
-from ..functions.urls import canonicalize_url
+from ..functions.urls import canonicalize_url, host_col
 from ..operators.admission import admit, dedup_in_batch, filter_unseen, gate_robots
 from ..operators.fetch import fetch_scheduled
 from ..operators.politeness import select_fetch_batch
@@ -215,7 +215,7 @@ def init_crawl(
             "crawl_id string, url string, url_norm string, parent_seq long, "
             "link_idx int, depth int",
         )
-        .withColumn("host", F.lower(F.regexp_extract("url_norm", r"^[a-z]+://([^/]*)", 1)))
+        .withColumn("host", host_col(F.col("url_norm")))
         .withColumn("priority_score", F.lit(0.0))
     )
     empty_seen = spark.createDataFrame([], "crawl_id string, url_norm string")

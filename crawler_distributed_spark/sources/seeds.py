@@ -47,8 +47,12 @@ def import_seed_csv(spark: SparkSession, path: str, default_max_pages: int = 25)
         ).alias("max_pages"),
     )
     valid = cleaned.where(F.col("domain").rlike(_DOMAIN_RE))
+    # total-order tiebreaker (project_id, max_pages): two rows for the same
+    # domain always pick a data-defined winner (determinism hard rule)
     deduped = valid.groupBy("domain").agg(
-        F.min_by(F.struct("project_id", "max_pages"), F.struct("project_id")).alias("w")
+        F.min_by(
+            F.struct("project_id", "max_pages"), F.struct("project_id", "max_pages")
+        ).alias("w")
     )
     return deduped.select(
         F.concat(F.lit("crawl-"), F.md5("domain")).alias("crawl_id"),

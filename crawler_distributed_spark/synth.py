@@ -25,9 +25,6 @@ from dataclasses import dataclass
 
 from .functions.urls import url_fingerprint
 
-STATUS_RETRYABLE = frozenset({429, 500, 502, 503, 504})
-STATUS_FATAL = frozenset({403, 404})
-
 _VOCAB = (
     "crawl frontier spark batch queue host page link fetch parse span text "
     "media robots sitemap depth priority seed hash filter dedup admit commit"
