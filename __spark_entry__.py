@@ -574,12 +574,15 @@ def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("page_title.title").alias("title"),
         F.col("headings_data.count").alias("n_headings"),
+        F.col("headings_data.h1").alias("n_h1"),
         F.col("links_data.total").alias("n_links"),
         F.col("links_data.internal").alias("n_internal"),
+        F.col("links_data.nofollow").alias("n_nofollow"),
         F.col("images_data.total").alias("n_images"),
         F.col("javascript_data.total").alias("n_scripts"),
         F.col("text_metrics.word_count").alias("words"),
         F.col("uri_data.depth").alias("uri_depth"),
+        F.col("mobile_data.score").alias("mobile_score"),
         F.col("directives_data.is_indexable").alias("indexable"),
     ).orderBy("doc_id")
 
@@ -1027,15 +1030,31 @@ def oracle_sql() -> dict[str, str]:
         # span_extraction: both sides read the same shipped span-doc corpus;
         # DuckDB recomputes every field with list/lambda SQL.
         "span_extraction": f"""
-            WITH d AS (SELECT * FROM read_parquet('{span_path}'))
+            WITH d AS (SELECT * FROM read_parquet('{span_path}')),
+            x AS (
+              SELECT doc_id, host, url_norm, spans,
+                     (list_filter(spans, s -> s.kind = 'meta'
+                                     AND starts_with(s.text, 'viewport:'))[1]).text AS vp
+              FROM d)
             SELECT doc_id,
                    (list_filter(spans, s -> s.kind = 'title')[1]).text AS title,
                    len(list_filter(spans, s -> s.kind = 'heading')) AS n_headings,
+                   len(list_filter(spans, s -> s.kind = 'heading'
+                                     AND starts_with(s.text, 'h1: '))) AS n_h1,
                    len(list_filter(spans, s -> s.kind = 'link')) AS n_links,
+                   len(list_filter(spans, s -> s.kind = 'link'
+                        AND NOT (starts_with(s.media_ref, 'mailto:') OR
+                                 starts_with(s.media_ref, 'tel:') OR
+                                 starts_with(s.media_ref, '#') OR
+                                 starts_with(s.media_ref, 'javascript:'))
+                        AND (NOT contains(s.media_ref, '://') OR
+                             lower(regexp_extract(s.media_ref, '^(?i)https?://([^/]+)', 1)) = host OR
+                             lower(regexp_extract(s.media_ref, '^(?i)https?://([^/]+)', 1)) = 'www.' || host OR
+                             ends_with(lower(regexp_extract(s.media_ref, '^(?i)https?://([^/]+)', 1)), '.' || host))
+                        )) AS n_internal,
                    len(list_filter(spans, s -> s.kind = 'link' AND
-                        (starts_with(s.media_ref, 'https://' || host) OR
-                         starts_with(s.media_ref, 'http://' || host) OR
-                         NOT contains(s.media_ref, '://')))) AS n_internal,
+                        contains(regexp_extract(coalesce(s.text, ''), '\\|(.*)$', 1),
+                                 'nofollow'))) AS n_nofollow,
                    len(list_filter(spans, s -> s.kind = 'image')) AS n_images,
                    len(list_filter(spans, s -> s.kind = 'script')) AS n_scripts,
                    coalesce(list_sum(list_transform(
@@ -1046,11 +1065,18 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_replace(url_norm, '^[a-z]+://[^/]*', ''),
                                       '[?#].*$', ''), '/'),
                        seg -> length(seg) > 0)) AS uri_depth,
+                   100 - (CASE WHEN vp IS NULL THEN 40 ELSE 0 END)
+                       - (CASE WHEN vp IS NULL OR NOT contains(vp, 'width=device-width')
+                               THEN 20 ELSE 0 END)
+                       - (CASE WHEN vp IS NULL OR NOT contains(vp, 'initial-scale=1')
+                               THEN 10 ELSE 0 END)
+                       - (CASE WHEN vp IS NOT NULL AND contains(vp, 'user-scalable=no')
+                               THEN 10 ELSE 0 END) AS mobile_score,
                    NOT contains(coalesce(array_to_string(list_transform(
                        list_filter(spans, s -> s.kind = 'meta'
                                              AND starts_with(s.text, 'robots:')),
                        s -> s.text), ','), ''), 'noindex') AS indexable
-            FROM d ORDER BY doc_id
+            FROM x ORDER BY doc_id
         """,
         # multimodal_features / ann_lsh_topk / embedding_near_dup /
         # minhash_near_dup / simhash_dup_groups: fully recomputed in SQL

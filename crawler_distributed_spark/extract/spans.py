@@ -8,15 +8,31 @@ family is a **struct column computed by JVM higher-order functions**
 Python, no shuffle, trivially column-prunable. A single pass computes all
 families; there is nothing to fan out.
 
+HTML attributes are encoded in the span micro-grammar (synth.py): heading
+level in the ``h<level>: `` text prefix, link rel/target after ``|`` in the
+anchor text, script async/defer in the script text, image dimensions in
+the ``?w=&h=`` ref query, meta families as ``key: value`` texts. Response
+headers arrive as a ``map<string, array<string>>`` column and feed the
+four header-reading families (canonical, directives, pagespeed — and
+content-encoding compression), matching the reference item's
+``response_headers`` (domain_spider.py:556-571).
+
 Family → reference worker mapping (docstrings cite the semantics source):
   page_title        ~ parser/workers/page_title_worker.py:45-230 (W1)
   meta_description  ~ parser/workers/meta_description_worker.py:45-96 (W2)
   headings_data     ~ parser/workers/headings_worker.py:49-413 (W3)
+  canonical_data    ~ parser/workers/canonical_worker.py:47-268 (W4)
   directives_data   ~ parser/workers/directives_worker.py:47-461 (W5)
+  ga_analytics      ~ parser/workers/google_analytics_worker.py:31-190 (W6)
+  hreflang_data     ~ parser/workers/hreflang_worker.py:51-383 (W7)
   images_data       ~ parser/workers/images_worker.py:49-265 (W8)
   javascript_data   ~ parser/workers/javascript_worker.py:46-497 (W9)
   links_data        ~ parser/workers/links_worker.py:47-434 (W10/L2)
+  mobile_data       ~ parser/workers/mobile_worker.py:49-413 (W11)
   text_metrics      ~ parser/workers/page_elements_worker.py:48-461 (W12)
+  pagespeed_data    ~ parser/workers/pagespeed_worker.py:46-535 (W13)
+  structured_data   ~ parser/workers/structured_worker.py:48-453 (W14)
+  third_party_services ~ third_party_services_worker.py:44-802 (W15)
   uri_data          ~ parser/workers/uri_worker.py:60-511 (W18)
 """
 
@@ -26,6 +42,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SPANS = "spans"
+
+# stopwords for the title/h1/h2 keyword-overlap analysis
+# (headings_worker.py:306-377 builds >3-char stopworded token sets)
+_STOPWORDS = ["the", "and", "for", "with", "from", "this", "that", "page"]
+
+# W15 third-party signature table (third_party_services_worker.py:44-802
+# keeps ~24 signature sets; this is the ref-domain slice visible in spans)
+THIRD_PARTY_SIGNATURES = {
+    "google_tag_manager": "googletagmanager.com",
+    "google_analytics": "google-analytics.com",
+    "facebook_pixel": "connect.facebook.net",
+    "hotjar": "hotjar.com",
+    "segment": "cdn.segment.com",
+    "intercom": "intercomcdn.com",
+    "mixpanel": "mxpnl.com",
+    "linkedin_insight": "licdn.com",
+    "tiktok_pixel": "analytics.tiktok.com",
+    "jsdelivr": "cdn.jsdelivr.net",
+    "cdnjs": "cdnjs.cloudflare.com",
+}
+
+# W9 framework signatures (javascript_worker.py:46-497 detects ~15 libs)
+FRAMEWORK_SIGNATURES = {
+    "react": "react",
+    "vue": "vue",
+    "angular": "angular",
+    "jquery": "jquery",
+}
+_SPA_FRAMEWORKS = ("react", "vue", "angular")
 
 
 def _of_kind(kind: str) -> Column:
@@ -40,37 +85,133 @@ def _refs(col: Column) -> Column:
     return F.transform(col, lambda s: s["media_ref"])
 
 
+def _metas() -> Column:
+    return _texts(_of_kind("meta"))
+
+
+def _meta_first(prefix: str) -> Column:
+    """First meta value for ``<prefix>: <value>`` (None if absent)."""
+    hit = F.get(F.filter(_metas(), lambda t: t.startswith(f"{prefix}: ")), 0)
+    return F.regexp_replace(hit, f"^{prefix}: ", "")
+
+
+def _header_joined(headers_col: str | None, key: str) -> Column:
+    """All values of a response header joined with ',' ('' when absent or
+    when the docs frame carries no headers column)."""
+    if headers_col is None:
+        return F.lit("")
+    vals = F.try_element_at(F.col(headers_col), F.lit(key))
+    return F.coalesce(F.concat_ws(",", vals), F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# W1 page_title (+ OpenGraph)
+# ---------------------------------------------------------------------------
+
+
 def page_title_struct() -> Column:
-    """W1: first title span text + length; robots directive from meta spans."""
+    """W1: first title text + length; meta robots; the OpenGraph property
+    surface (page_title_worker.py:45-230 extracts 10 og:* props — the
+    span grammar carries og:title/description/image/url/type/site_name)."""
     titles = _texts(_of_kind("title"))
     title = F.get(titles, 0)
-    metas = _texts(_of_kind("meta"))
+    metas = _metas()
     robots = F.get(F.filter(metas, lambda t: t.startswith("robots:")), 0)
+    og = F.filter(metas, lambda t: t.startswith("og:"))
+    og_props = F.array_distinct(
+        F.transform(og, lambda t: F.regexp_extract(t, r"^og:([a-z_]+): ", 1))
+    )
     return F.struct(
         title.alias("title"),
         F.coalesce(F.length(title), F.lit(0)).alias("title_length"),
         F.size(titles).alias("title_count"),
         F.regexp_replace(F.coalesce(robots, F.lit("")), "^robots: ", "").alias("robots"),
+        F.size(og).alias("og_count"),
+        F.sort_array(og_props).alias("og_props"),
+        _meta_first("og:title").alias("og_title"),
+        _meta_first("og:description").alias("og_description"),
+        _meta_first("og:image").alias("og_image"),
+        (F.size(og) > 0).alias("has_og"),
     )
 
 
 def meta_description_struct() -> Column:
-    """W2: first meta span that is a description (nullable)."""
-    metas = _texts(_of_kind("meta"))
-    desc = F.get(F.filter(metas, lambda t: t.startswith("description:")), 0)
+    """W2: first description meta + the 120/160 length bounds the
+    reference flags (meta_description_worker.py:45-96,
+    page_elements_worker.py meta metrics)."""
+    desc = _meta_first("description")
+    ln = F.coalesce(F.length(desc), F.lit(0))
     return F.struct(
         desc.alias("meta_description"),
-        F.coalesce(F.length(desc), F.lit(0)).alias("length"),
+        ln.alias("length"),
+        ((ln > 0) & (ln < 120)).alias("too_short"),
+        (ln > 160).alias("too_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 headings: per-level aggregation + hierarchy + keyword overlap
+# ---------------------------------------------------------------------------
+
+
+def _token_set(txt: Column) -> Column:
+    """Stopworded >3-char token set (headings_worker.py:306-340)."""
+    return F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(txt, F.lit(""))), " "),
+            lambda w: (F.length(w) > 3) & ~w.isin(_STOPWORDS),
+        )
+    )
+
+
+def _overlap_pct(a: Column, b: Column) -> Column:
+    """% of ``a``'s tokens found in ``b`` (headings_worker.py:342-377)."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.when(
+        (F.size(a) > 0) & (F.size(b) > 0),
+        F.round(F.lit(100.0) * inter / F.size(a), 1),
     )
 
 
 def headings_struct() -> Column:
-    """W3: heading counts + text lengths min/max/avg + duplicate detection
-    (headings_worker.py:167-245 level aggregation, :181-206 duplicates)."""
+    """W3 (headings_worker.py:49-413): per-level h1-h6 counts (:167-245),
+    duplicates (:181-206), hierarchy — first level, first-not-h1, skipped
+    level jumps (:247-292) — and title/h1/h2 keyword overlap (:306-377).
+    Heading level rides in the ``h<level>: `` text prefix."""
     hs = _texts(_of_kind("heading"))
     lens = F.transform(hs, F.length)
     n = F.size(hs)
     total = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    levels = F.transform(
+        hs, lambda t: F.regexp_extract(t, r"^h([1-6]): ", 1).cast("int")
+    )
+    per_level = [
+        F.size(F.filter(levels, lambda x: x == F.lit(lv))).alias(f"h{lv}")
+        for lv in range(1, 7)
+    ]
+    first_level = F.get(levels, 0)
+    # skipped jumps: adjacent pairs where the level increases by >1
+    # (aggregate with a (prev, cnt) struct accumulator — pure JVM fold)
+    init = F.struct(F.lit(0).alias("prev"), F.lit(0).alias("cnt"))
+    skipped = F.aggregate(
+        levels,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["cnt"]
+                + F.when((acc["prev"] > 0) & (x > acc["prev"] + 1), 1).otherwise(0)
+            ).alias("cnt"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+    strip = lambda t: F.regexp_replace(t, r"^h[1-6]: ", "")  # noqa: E731
+    title = F.get(_texts(_of_kind("title")), 0)
+    h_of = lambda lv: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(F.filter(hs, lambda t: t.startswith(f"h{lv}: ")), strip),
+    )
+    t_set = _token_set(title)
     return F.struct(
         n.alias("count"),
         hs.alias("texts"),
@@ -79,83 +220,248 @@ def headings_struct() -> Column:
         F.when(n > 0, F.round(total / n, 2)).alias("avg_length"),
         (n - F.size(F.array_distinct(hs))).alias("duplicate_count"),
         F.size(F.filter(hs, lambda t: F.length(t) == 0)).alias("empty_count"),
+        *per_level,
+        first_level.alias("first_level"),
+        F.when(n > 0, first_level != 1).alias("first_not_h1"),
+        skipped.alias("skipped_jumps"),
+        _overlap_pct(t_set, _token_set(h_of(1))).alias("title_h1_overlap_pct"),
+        _overlap_pct(t_set, _token_set(h_of(2))).alias("title_h2_overlap_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10/L2 links: full class breakdown + rollups + issues
+# ---------------------------------------------------------------------------
+
+
+def _anchor(t: Column) -> Column:
+    return F.regexp_extract(F.coalesce(t, F.lit("")), r"^([^|]*)", 1)
+
+
+def _link_attrs(t: Column) -> Column:
+    return F.regexp_extract(F.coalesce(t, F.lit("")), r"\|(.*)$", 1)
+
+
+def _is_special_ref(r: Column) -> Column:
+    return (
+        r.startswith("mailto:")
+        | r.startswith("tel:")
+        | r.startswith("#")
+        | r.startswith("javascript:")
     )
 
 
 def links_struct(host_col: str | None = "host") -> Column:
-    """W10/L2: link span rollups — counts, unique counts, internal/external
-    split against the doc's own host (links_worker.py:147-181, 256-354)."""
+    """W10/L2 (links_worker.py:47-434): per-class counts — internal
+    (subdomain-aware, :256-354) / external / nofollow / sponsored / ugc /
+    blank-target / mailto / tel / fragment / javascript — plus anchor-text
+    frequency map (:98-101), external-domain set (:152-156) and issue
+    flags (:384-418). Link rel/target attrs ride after ``|`` in the
+    anchor text."""
     links = _of_kind("link")
     refs = _refs(links)
-    anchors = _texts(links)
+    anchors = F.transform(links, lambda s: _anchor(s["text"]))
+    attrs = F.transform(links, lambda s: _link_attrs(s["text"]))
     n = F.size(refs)
     uniq = F.size(F.array_distinct(refs))
+    attr_count = lambda a: F.size(F.filter(attrs, lambda t: t.contains(a)))  # noqa: E731
+    special = F.size(F.filter(refs, _is_special_ref))
     if host_col is not None:
-        internal = F.size(
-            F.filter(
-                refs,
-                lambda r: r.startswith(F.concat(F.lit("https://"), F.col(host_col)))
-                | r.startswith(F.concat(F.lit("http://"), F.col(host_col)))
-                | ~r.contains("://"),
+        host = F.col(host_col)
+        # scheme/host compare is case-insensitive (links_worker.py lowercases
+        # before classifying; dirty uppercase hrefs are the same host)
+        ref_host = lambda r: F.lower(  # noqa: E731
+            F.regexp_extract(r, r"^(?i)https?://([^/]+)", 1)
+        )
+        is_internal = lambda r: ~_is_special_ref(r) & (  # noqa: E731
+            ~r.contains("://")
+            | (ref_host(r) == host)
+            | (ref_host(r) == F.concat(F.lit("www."), host))
+            | ref_host(r).endswith(F.concat(F.lit("."), host))
+        )
+        internal = F.size(F.filter(refs, is_internal))
+        ext_domains = F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        refs,
+                        lambda r: r.contains("://")
+                        & ~_is_special_ref(r)
+                        & ~is_internal(r),
+                    ),
+                    ref_host,
+                )
             )
         )
     else:
         internal = F.lit(None).cast("int")
+        ext_domains = F.lit(None).cast("array<string>")
+    uniq_anchors = F.array_distinct(F.transform(anchors, F.lower))
+    anchor_freq = F.map_from_arrays(
+        uniq_anchors,
+        F.transform(
+            uniq_anchors,
+            lambda a: F.size(F.filter(anchors, lambda x: F.lower(x) == a)),
+        ),
+    )
+    nofollow = attr_count("nofollow")
     return F.struct(
         n.alias("total"),
         uniq.alias("unique"),
         internal.alias("internal"),
-        (n - internal).alias("external"),
+        (n - internal - special).alias("external"),
+        special.alias("special"),
         F.size(F.filter(anchors, lambda t: t.isNull() | (F.length(t) == 0))).alias(
             "missing_text"
         ),
+        nofollow.alias("nofollow"),
+        attr_count("sponsored").alias("sponsored"),
+        attr_count("ugc").alias("ugc"),
+        attr_count("blank").alias("blank_target"),
+        F.size(F.filter(refs, lambda r: r.startswith("mailto:"))).alias("mailto"),
+        F.size(F.filter(refs, lambda r: r.startswith("tel:"))).alias("tel"),
+        F.size(F.filter(refs, lambda r: r.startswith("#"))).alias("fragment"),
+        F.size(F.filter(refs, lambda r: r.startswith("javascript:"))).alias(
+            "javascript"
+        ),
+        ext_domains.alias("external_domains"),
+        anchor_freq.alias("anchor_freq"),
+        (n > 100).alias("too_many_links"),
+        ((n > 0) & (nofollow * 2 > n)).alias("high_nofollow_ratio"),
     )
 
 
+# ---------------------------------------------------------------------------
+# W8 images: dimensions, size buckets
+# ---------------------------------------------------------------------------
+
+
+def _dim_of(r: Column, key: str) -> Column:
+    v = F.regexp_extract(r, rf"[?&]{key}=(\d+)", 1)
+    return F.when(F.length(v) > 0, v.cast("int"))
+
+
 def images_struct() -> Column:
-    """W8: image span stats (images_worker.py:253-265)."""
+    """W8 (images_worker.py:49-265): alt coverage, dimension parse from the
+    ref's ?w=&h= query (attr/style in the reference, :127-180), over/under
+    -sized buckets (>1000 / <100 px, :227-245)."""
     imgs = _of_kind("image")
     refs = _refs(imgs)
+    w_of = lambda r: _dim_of(r, "w")  # noqa: E731
+    h_of = lambda r: _dim_of(r, "h")  # noqa: E731
+    with_dims = F.filter(refs, lambda r: w_of(r).isNotNull() & h_of(r).isNotNull())
     return F.struct(
         F.size(refs).alias("total"),
         F.size(F.array_distinct(refs)).alias("unique"),
         F.size(
             F.filter(_texts(imgs), lambda t: t.isNull() | (F.length(t) == 0))
         ).alias("missing_alt"),
+        F.size(with_dims).alias("with_dimensions"),
+        F.size(
+            F.filter(refs, lambda r: (w_of(r) > 1000) | (h_of(r) > 1000))
+        ).alias("oversized"),
+        F.size(
+            F.filter(refs, lambda r: (w_of(r) < 100) & (h_of(r) < 100))
+        ).alias("undersized"),
     )
 
 
-def directives_struct() -> Column:
-    """W5: noindex/nofollow flags with implied defaults
-    (directives_worker.py:205-275, 439-461)."""
-    metas = _texts(_of_kind("meta"))
-    robots = F.concat_ws(",", F.filter(metas, lambda t: t.startswith("robots:")))
-    has_noindex = robots.contains("noindex")
-    has_nofollow = robots.contains("nofollow")
+# ---------------------------------------------------------------------------
+# W5 directives: meta robots + X-Robots-Tag header
+# ---------------------------------------------------------------------------
+
+
+def directives_struct(headers_col: str | None = None) -> Column:
+    """W5 (directives_worker.py:47-461): meta robots AND the X-Robots-Tag
+    response header (:47-120 reads both sources) merged into one directive
+    verdict; noarchive tracked; implied defaults for index/follow."""
+    metas = _metas()
+    robots_meta = F.concat_ws(",", F.filter(metas, lambda t: t.startswith("robots:")))
+    x_robots = _header_joined(headers_col, "x-robots-tag")
+    combined = F.concat_ws(",", robots_meta, x_robots)
+    has_noindex = combined.contains("noindex")
+    has_nofollow = combined.contains("nofollow")
     return F.struct(
+        F.regexp_replace(robots_meta, "^robots: ", "").alias("robots_meta"),
+        x_robots.alias("x_robots_tag"),
         has_noindex.alias("has_noindex"),
         has_nofollow.alias("has_nofollow"),
+        combined.contains("noarchive").alias("has_noarchive"),
         (~has_noindex).alias("is_indexable"),
         (~has_nofollow).alias("is_followable"),
     )
 
 
+# ---------------------------------------------------------------------------
+# W9 javascript: attrs, frameworks, SPA, render-blocking
+# ---------------------------------------------------------------------------
+
+
 def javascript_struct() -> Column:
-    """W9: script span counts + external/same-domain split
-    (javascript_worker.py:46-200)."""
+    """W9 (javascript_worker.py:46-497): external/inline split + async/
+    defer/module counts (:46-200), framework detection over src URLs
+    (:219-320 — 15 libs in the reference, the CDN-visible slice here),
+    SPA indicator, render-blocking = external without async|defer
+    (pagespeed_worker.py render-blocking rule), inline byte total."""
     scripts = _of_kind("script")
-    refs = _refs(scripts)
-    ext = F.filter(refs, lambda r: r.isNotNull() & r.contains("://"))
+    ext = F.filter(scripts, lambda s: s["media_ref"].isNotNull())
+    inline = F.filter(scripts, lambda s: s["media_ref"].isNull())
+    attr_count = lambda a: F.size(  # noqa: E731
+        F.filter(ext, lambda s: F.coalesce(s["text"], F.lit("")).contains(a))
+    )
+    render_blocking = F.size(
+        F.filter(
+            ext,
+            lambda s: ~F.coalesce(s["text"], F.lit("")).rlike("async|defer"),
+        )
+    )
+    inline_bytes = F.aggregate(
+        F.transform(
+            inline,
+            lambda s: F.coalesce(
+                F.regexp_extract(s["text"], r"^inline:(\d+)$", 1).try_cast("int"),
+                F.lit(0),
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    lower_refs = F.transform(ext, lambda s: F.lower(s["media_ref"]))
+    fw_hits = [
+        F.when(F.exists(lower_refs, lambda r: r.contains(sig)), F.lit(name))
+        for name, sig in FRAMEWORK_SIGNATURES.items()
+    ]
+    frameworks = F.sort_array(
+        F.filter(F.array(*fw_hits), lambda x: x.isNotNull())
+    )
+    spa = F.exists(
+        frameworks, lambda f: f.isin(*[F.lit(x) for x in _SPA_FRAMEWORKS])
+    )
+    n_total = F.size(scripts)
     return F.struct(
-        F.size(scripts).alias("total"),
+        n_total.alias("total"),
         F.size(ext).alias("external"),
-        (F.size(scripts) - F.size(ext)).alias("inline"),
+        F.size(inline).alias("inline"),
+        attr_count("async").alias("async_count"),
+        attr_count("defer").alias("defer_count"),
+        attr_count("module").alias("module_count"),
+        render_blocking.alias("render_blocking"),
+        inline_bytes.alias("inline_bytes"),
+        frameworks.alias("frameworks"),
+        (F.size(frameworks) > 0).alias("has_framework"),
+        spa.alias("spa_indicator"),
+        (n_total > 15).alias("many_scripts"),
     )
 
 
+# ---------------------------------------------------------------------------
+# W12 text metrics
+# ---------------------------------------------------------------------------
+
+
 def text_metrics_struct() -> Column:
-    """W12: content metrics — words, text chars, span-mix ratio
-    (page_elements_worker.py:247-335 text metrics)."""
+    """W12 (page_elements_worker.py:247-335): words, text chars, paragraph
+    (= text span) count, span-mix ratio, html-size proxy (max offset)."""
     texty = F.filter(
         F.col(SPANS),
         lambda s: s["kind"].isin("text", "heading", "title") & s["text"].isNotNull(),
@@ -168,17 +474,26 @@ def text_metrics_struct() -> Column:
         lambda a, x: a + x,
     )
     n_spans = F.size(F.col(SPANS))
+    html_size = F.array_max(F.transform(F.col(SPANS), lambda s: s["offset"]))
     return F.struct(
         words.alias("word_count"),
         chars.alias("text_chars"),
+        F.size(_of_kind("text")).alias("paragraphs"),
         n_spans.alias("span_count"),
         F.when(n_spans > 0, F.round(F.size(texty) / n_spans, 4)).alias("text_span_ratio"),
+        html_size.alias("html_size"),
     )
 
 
+# ---------------------------------------------------------------------------
+# W18 uri: decomposition + readability + issues
+# ---------------------------------------------------------------------------
+
+
 def uri_struct(url_col: str = "url_norm") -> Column:
-    """W18: URL decomposition — path segments/depth/extension/format flags,
-    query-param classification (uri_worker.py:60-511)."""
+    """W18 (uri_worker.py:60-511): path decomposition + query-param
+    classification (:60-220), SEO keywords from path segments (:280-330),
+    readability = 100 − penalties (:340-420), issue flags (:430-511)."""
     url = F.col(url_col)
     path = F.regexp_replace(
         F.regexp_replace(url, r"^[a-z]+://[^/]*", ""), r"[?#].*$", ""
@@ -195,30 +510,79 @@ def uri_struct(url_col: str = "url_norm") -> Column:
             | k.isin("fbclid", "gclid", "ref", "sid", "session_id"),
         )
     )
+    depth = F.size(segs)
+    has_upper = path.rlike("[A-Z]")
+    has_under = path.contains("_")
+    many_params = F.size(params) > 3
+    long_url = F.length(url) > 100
+    deep = depth > 5
+    special = path.rlike(r"[^a-zA-Z0-9/._\-]")
+    keywords = F.sort_array(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    segs, lambda s: F.filter(
+                        F.split(F.lower(s), "[-_.]"), lambda w: F.length(w) > 3
+                    )
+                )
+            )
+        )
+    )
+    readability = (
+        F.lit(100)
+        - F.when(has_upper, 15).otherwise(0)
+        - F.when(has_under, 10).otherwise(0)
+        - F.when(many_params, 10).otherwise(0)
+        - F.when(tracking > 0, 10).otherwise(0)
+        - F.when(deep, 10).otherwise(0)
+        - F.when(long_url, 10).otherwise(0)
+        - F.when(special, 10).otherwise(0)
+    )
     return F.struct(
         path.alias("path"),
-        F.size(segs).alias("depth"),
+        depth.alias("depth"),
         segs.alias("segments"),
         ext.alias("extension"),
         (F.length(query) > 0).alias("has_query"),
         F.size(params).alias("param_count"),
         tracking.alias("tracking_param_count"),
-        path.rlike("[A-Z]").alias("has_uppercase"),
-        path.contains("_").alias("has_underscores"),
+        has_upper.alias("has_uppercase"),
+        has_under.alias("has_underscores"),
+        keywords.alias("seo_keywords"),
+        F.greatest(readability, F.lit(0)).alias("readability"),
+        (many_params | (tracking > 0) | deep | long_url).alias("has_issues"),
     )
 
 
-def canonical_struct(url_col: str = "url_norm") -> Column:
-    """W4: canonical link + self-canonical check + noindex conflict
-    (canonical_worker.py:47-268; self-check :205-234)."""
-    metas = _texts(_of_kind("meta"))
+# ---------------------------------------------------------------------------
+# W4 canonical: HTML link + HTTP Link header
+# ---------------------------------------------------------------------------
+
+
+def canonical_struct(
+    url_col: str = "url_norm", headers_col: str | None = None
+) -> Column:
+    """W4 (canonical_worker.py:47-268): HTML canonical (+multiples), the
+    HTTP ``Link: <url>; rel="canonical"`` header path (:96-140),
+    self-canonical check (:205-234), header/HTML conflict, noindex
+    conflict."""
+    metas = _metas()
     canon = F.filter(metas, lambda t: t.startswith("canonical:"))
     href = F.regexp_replace(F.get(canon, 0), "^canonical: ", "")
+    link_hdr = _header_joined(headers_col, "link")
+    hdr_href = F.when(
+        link_hdr.contains('rel="canonical"'),
+        F.regexp_extract(link_hdr, r"<([^>]*)>", 1),
+    )
     robots = F.concat_ws(",", F.filter(metas, lambda t: t.startswith("robots:")))
     return F.struct(
         href.alias("canonical_url"),
         F.size(canon).alias("canonical_count"),
+        hdr_href.alias("header_canonical"),
         (href == F.col(url_col)).alias("is_self_canonical"),
+        (
+            href.isNotNull() & hdr_href.isNotNull() & (href != hdr_href)
+        ).alias("header_html_conflict"),
         (href.isNotNull() & robots.contains("noindex")).alias("noindex_conflict"),
     )
 
@@ -250,7 +614,7 @@ def ga_analytics_struct() -> Column:
 def hreflang_struct(url_col: str = "url_norm") -> Column:
     """W7: hreflang alternates — lang codes, validity, self-reference
     (hreflang_worker.py:51-383; lang-code regex validation)."""
-    metas = _texts(_of_kind("meta"))
+    metas = _metas()
     hl = F.filter(metas, lambda t: t.startswith("hreflang:"))
     entries = F.transform(
         hl,
@@ -277,49 +641,95 @@ def hreflang_struct(url_col: str = "url_norm") -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# W11 mobile: viewport parse + 100-minus-penalties score
+# ---------------------------------------------------------------------------
+
+
 def mobile_struct() -> Column:
-    """W11: viewport parse + mobile-friendliness verdict
-    (mobile_worker.py:49-413; score → likely/possibly/unlikely)."""
-    metas = _texts(_of_kind("meta"))
+    """W11 (mobile_worker.py:49-413): viewport parse (width/initial-scale/
+    user-scalable), AMP alternate link, and the reference's weighted
+    penalty score (:361-398): 100 − 40·no-viewport − 20·no-device-width −
+    10·no-initial-scale − 10·user-scalable=no; verdict likely ≥80,
+    possibly ≥50, else unlikely."""
+    metas = _metas()
     vp = F.get(F.filter(metas, lambda t: t.startswith("viewport:")), 0)
     has_vp = vp.isNotNull()
     responsive = has_vp & vp.contains("width=device-width")
     initial_scale = has_vp & vp.contains("initial-scale=1")
+    no_user_scale = has_vp & vp.contains("user-scalable=no")
+    amp = F.exists(metas, lambda t: t.startswith("amphtml:"))
+    score = (
+        F.lit(100)
+        - F.when(~has_vp, 40).otherwise(0)
+        - F.when(~responsive, 20).otherwise(0)
+        - F.when(~initial_scale, 10).otherwise(0)
+        - F.when(no_user_scale, 10).otherwise(0)
+    )
     verdict = (
-        F.when(responsive & initial_scale, F.lit("likely"))
-        .when(has_vp, F.lit("possibly"))
+        F.when(score >= 80, F.lit("likely"))
+        .when(score >= 50, F.lit("possibly"))
         .otherwise(F.lit("unlikely"))
     )
     return F.struct(
         has_vp.alias("has_viewport"),
         responsive.alias("responsive_width"),
         initial_scale.alias("has_initial_scale"),
+        no_user_scale.alias("user_scalable_no"),
+        amp.alias("has_amp_link"),
+        score.alias("score"),
         verdict.alias("mobile_friendly"),
     )
 
 
+# ---------------------------------------------------------------------------
+# W14 structured data: JSON-LD + microdata type flags
+# ---------------------------------------------------------------------------
+
+_SCHEMA_FLAG_TYPES = (
+    "Article", "Product", "FAQPage", "Organization", "BreadcrumbList",
+    "WebSite", "Event", "LocalBusiness",
+)
+
+
 def structured_data_struct() -> Column:
-    """W14: structured-data type flags + schema count
-    (structured_worker.py:48-453; has_<type> flags over JSON-LD types)."""
-    metas = _texts(_of_kind("meta"))
-    sd = F.transform(
+    """W14 (structured_worker.py:48-453): JSON-LD + Microdata types with
+    per-type has_<type> flags (the reference keeps 15 flags; the span
+    grammar carries 8 schema.org types over jsonld:/microdata: metas)."""
+    metas = _metas()
+    jsonld = F.transform(
         F.filter(metas, lambda t: t.startswith("jsonld:")),
         lambda t: F.regexp_replace(t, "^jsonld: ", ""),
     )
-    types = F.array_distinct(sd)
+    micro = F.transform(
+        F.filter(metas, lambda t: t.startswith("microdata:")),
+        lambda t: F.regexp_replace(t, "^microdata: ", ""),
+    )
+    types = F.sort_array(F.array_distinct(F.concat(jsonld, micro)))
+    flags = [
+        F.array_contains(types, t).alias(f"has_{t.lower()}")
+        for t in _SCHEMA_FLAG_TYPES
+    ]
     return F.struct(
-        F.size(sd).alias("schema_count"),
+        (F.size(jsonld) + F.size(micro)).alias("schema_count"),
+        F.array_distinct(jsonld).alias("jsonld_types"),
+        F.array_distinct(micro).alias("microdata_types"),
         types.alias("types"),
-        F.array_contains(types, "Article").alias("has_article"),
-        F.array_contains(types, "Product").alias("has_product"),
-        F.array_contains(types, "FAQPage").alias("has_faq"),
+        *flags,
     )
 
 
+# ---------------------------------------------------------------------------
+# W15 third-party services: signatures + CMS + theme
+# ---------------------------------------------------------------------------
+
+
 def third_party_struct(host_col: str = "host") -> Column:
-    """W15: third-party service detection — external script refs grouped
-    by provider domain (third_party_services_worker.py:44-802 signature
-    sets, reduced to ref-domain classification over spans)."""
+    """W15 (third_party_services_worker.py:44-802): named signature
+    detection over external script refs (THIRD_PARTY_SIGNATURES — the
+    ref-domain slice of the reference's ~24 sets), CMS from the generator
+    meta (:520-610 detects 8 platforms), WP theme from /wp-content/themes/
+    paths (:612-700)."""
     refs = _refs(_of_kind("script"))
     ext = F.filter(
         refs,
@@ -330,32 +740,73 @@ def third_party_struct(host_col: str = "host") -> Column:
     domains = F.array_distinct(
         F.transform(ext, lambda r: F.regexp_extract(r, r"^https?://([^/]+)", 1))
     )
+    hits = [
+        F.when(F.exists(ext, lambda r: r.contains(sig)), F.lit(name))
+        for name, sig in THIRD_PARTY_SIGNATURES.items()
+    ]
+    providers = F.sort_array(F.filter(F.array(*hits), lambda x: x.isNotNull()))
+    generator = _meta_first("generator")
+    cms = F.when(
+        generator.isNotNull(), F.regexp_extract(generator, r"^([A-Za-z.]+)", 1)
+    )
+    all_refs = F.filter(
+        F.transform(F.col(SPANS), lambda s: s["media_ref"]), lambda r: r.isNotNull()
+    )
+    theme = F.get(
+        F.filter(
+            F.transform(
+                all_refs,
+                lambda r: F.regexp_extract(r, r"/wp-content/themes/([^/]+)/", 1),
+            ),
+            lambda t: F.length(t) > 0,
+        ),
+        0,
+    )
     return F.struct(
         F.size(ext).alias("third_party_scripts"),
         domains.alias("provider_domains"),
+        providers.alias("providers"),
+        (F.size(providers) > 0).alias("has_third_party"),
         F.exists(domains, lambda d: d.contains("googletagmanager")).alias(
             "has_tag_manager"
         ),
+        cms.alias("cms"),
+        theme.alias("wp_theme"),
     )
 
 
-def pagespeed_struct() -> Column:
-    """W13: resource inventory — script/image/media counts, third-party
-    share, render-blocking proxy (pagespeed_worker.py:46-535 reduced to
-    the span-visible resource surface)."""
+# ---------------------------------------------------------------------------
+# W13 pagespeed: resources + compression header
+# ---------------------------------------------------------------------------
+
+
+def pagespeed_struct(headers_col: str | None = None) -> Column:
+    """W13 (pagespeed_worker.py:46-535): resource inventory, third-party
+    share, render-blocking (external scripts without async|defer, :230-290),
+    compression + content-length from response headers (:46-120)."""
     scripts = _of_kind("script")
     images = _of_kind("image")
     videos = _of_kind("video")
     n_res = F.size(scripts) + F.size(images) + F.size(videos)
-    ext_scripts = F.filter(
-        _refs(scripts), lambda r: r.isNotNull() & r.contains("://")
+    ext_scripts = F.filter(scripts, lambda s: s["media_ref"].isNotNull())
+    render_blocking = F.size(
+        F.filter(
+            ext_scripts,
+            lambda s: ~F.coalesce(s["text"], F.lit("")).rlike("async|defer"),
+        )
     )
+    enc = _header_joined(headers_col, "content-encoding")
+    clen = _header_joined(headers_col, "content-length").try_cast("long")
     return F.struct(
         n_res.alias("resource_count"),
         F.size(scripts).alias("scripts"),
         F.size(images).alias("images"),
         F.size(videos).alias("videos"),
         F.size(ext_scripts).alias("external_scripts"),
+        render_blocking.alias("render_blocking"),
+        F.when(F.length(enc) > 0, enc).alias("compression"),
+        (F.length(enc) > 0).alias("is_compressed"),
+        clen.alias("content_length"),
         (F.size(scripts) > 5).alias("many_scripts"),
     )
 
@@ -379,31 +830,42 @@ ALL_FAMILIES = {
     "pagespeed_data": pagespeed_struct,
 }
 
+_NEEDS_URL = {"uri_data", "hreflang_data"}
+_NEEDS_HOST = {"third_party_services"}
+_NEEDS_HEADERS = {"directives_data", "pagespeed_data"}  # headers optional
+
 
 def parse_docs(docs: DataFrame, families: list[str] | None = None) -> DataFrame:
     """Compute all extraction families in ONE select over the docs table.
 
-    ``docs`` needs columns: doc_id, spans; plus host (for links_data) and
-    url_norm (for uri_data) when those families are requested. This is the
-    engine's replacement for the reference's 15-way parse-job fan-out
-    (parser/dispatch/job_dispatcher.py:24-152): same outputs, one pass,
-    column-pruned, no queue."""
+    ``docs`` needs columns: doc_id, spans; plus host (for links_data /
+    third_party_services), url_norm (uri/canonical/hreflang) and
+    optionally response_headers (map<string,array<string>> — the
+    header-reading slices of canonical/directives/pagespeed light up when
+    present). This is the engine's replacement for the reference's 15-way
+    parse-job fan-out (parser/dispatch/job_dispatcher.py:24-152): same
+    outputs, one pass, column-pruned, no queue."""
     names = families or list(ALL_FAMILIES)
-    needs_url = {"uri_data", "canonical_data", "hreflang_data"}
-    needs_host = {"third_party_services"}
+    hdr = "response_headers" if "response_headers" in docs.columns else None
     cols = [docs["*"]]
     for name in names:
         fn = ALL_FAMILIES[name]
         if name == "links_data":
             cols.append(fn("host" if "host" in docs.columns else None).alias(name))
-        elif name in needs_url:
+        elif name == "canonical_data":
+            if "url_norm" not in docs.columns:
+                continue
+            cols.append(fn("url_norm", hdr).alias(name))
+        elif name in _NEEDS_URL:
             if "url_norm" not in docs.columns:
                 continue
             cols.append(fn("url_norm").alias(name))
-        elif name in needs_host:
+        elif name in _NEEDS_HOST:
             if "host" not in docs.columns:
                 continue
             cols.append(fn("host").alias(name))
+        elif name in _NEEDS_HEADERS:
+            cols.append(fn(hdr).alias(name))
         else:
             cols.append(fn().alias(name))
     return docs.select(*cols)

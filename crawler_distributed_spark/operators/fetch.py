@@ -35,6 +35,11 @@ _RAW_FIELDS = [
     T.StructField("span_ref", T.ArrayType(T.StringType()), False),
     T.StructField("span_offset", T.ArrayType(T.IntegerType()), False),
     T.StructField("latency_class", T.IntegerType(), False),
+    # response headers (domain_spider.py:556-571 carries
+    # response_headers: map<str, list<str>>): shipped across Arrow as two
+    # parallel arrays and zipped into a map JVM-side (map_from_arrays)
+    T.StructField("hdr_keys", T.ArrayType(T.StringType()), False),
+    T.StructField("hdr_vals", T.ArrayType(T.ArrayType(T.StringType())), False),
     # sitemap-entry metadata (S6): filled when the fetched URL is a
     # sitemap — the served XML is parsed right here (functions/sitemaps)
     T.StructField("sm_url", T.ArrayType(T.StringType()), False),
@@ -75,12 +80,17 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             sm_prio: list = [None] * n
             sm_freq: list = [None] * n
             lat: list = [0] * n
+            hdr_keys: list = [None] * n
+            hdr_vals: list = [None] * n
             for i, u in enumerate(pdf["url_norm"].tolist()):
                 st = synth.status_of(cfg, u)
                 ct = synth.content_type_of(cfg, u)
                 statuses[i] = st
                 ctypes[i] = ct
                 lat[i] = synth.latency_class_of(cfg, u)
+                hdrs = synth.response_headers_of(cfg, u)
+                hdr_keys[i] = [h[0] for h in hdrs]
+                hdr_vals[i] = [h[1] for h in hdrs]
                 links = synth.outlinks_of(cfg, u)
                 outlinks[i] = links
                 kinds[i] = []
@@ -120,6 +130,8 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             pdf["sm_priority"] = sm_prio
             pdf["sm_changefreq"] = sm_freq
             pdf["latency_class"] = pd.array(lat, dtype="int32")
+            pdf["hdr_keys"] = hdr_keys
+            pdf["hdr_vals"] = hdr_vals
             yield pdf
 
     raw = scheduled.mapInPandas(do_fetch, schema=out_schema)
@@ -135,6 +147,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         F.col("sm_priority").alias("priority"),
         F.col("sm_changefreq").alias("changefreq"),
     ).alias("sitemap_entries")
+    headers = F.map_from_arrays("hdr_keys", "hdr_vals").alias("response_headers")
     return raw.select(
         *[c for c in scheduled.columns],
         "status",
@@ -143,5 +156,6 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         "outlinks",
         spans,
         sitemap_entries,
+        headers,
         "latency_class",
     )

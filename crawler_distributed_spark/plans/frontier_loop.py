@@ -104,7 +104,7 @@ class CrawlRunResult:
             return None
         return f.where(_is_page()).select(
             "crawl_id", "url_norm", "url_hash", "host", "depth", "status",
-            "content_type", "doc_id", "spans",
+            "content_type", "doc_id", "spans", "response_headers",
             F.col("batch_id").alias("fetched_in_batch"),
         )
 

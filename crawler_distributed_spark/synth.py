@@ -272,14 +272,55 @@ def outlinks_of(cfg: SynthConfig, url_norm: str) -> list[str]:
     return links
 
 
+# span micro-grammar (the interleaved-doc stand-in for HTML attributes;
+# extract/spans.py and the test/SQL oracles all parse these shapes):
+#   heading  text = "h<level>: <words>"                (level 1-6)
+#   link     text = "<anchor>" or "<anchor>|a1,a2"     (attrs: nofollow,
+#            sponsored, ugc, blank); media_ref may be mailto:/tel:/#frag
+#   script   media_ref = src (None = inline); text = "async"/"defer"/
+#            "module" csv, or "inline:<bytes>" for inline scripts
+#   image    media_ref = src, optionally "?w=<px>&h=<px>"; text = alt
+#   meta     text = "<key>: <value>" — keys: description, canonical,
+#            viewport, hreflang, jsonld, microdata, robots, og:<prop>,
+#            generator, amphtml
+
+_JSONLD_TYPES = (
+    "Article", "Product", "FAQPage", "Organization", "BreadcrumbList",
+    "WebSite", "Event", "LocalBusiness",
+)
+_FRAMEWORK_CDNS = (
+    "https://cdn.jsdelivr.net/npm/react@18/umd/react.production.min.js",
+    "https://cdn.jsdelivr.net/npm/vue@3/dist/vue.global.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/angular.js/1.8.3/angular.min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/jquery/3.7.1/jquery.min.js",
+)
+_TP_PROVIDERS = (
+    "https://connect.facebook.net/en_US/fbevents.js",
+    "https://static.hotjar.com/c/hotjar-1.js",
+    "https://cdn.segment.com/analytics.js/v1/x/analytics.min.js",
+    "https://js.intercomcdn.com/shim.latest.js",
+    "https://cdn.mxpnl.com/libs/mixpanel-2-latest.min.js",
+    "https://snap.licdn.com/li.lms-analytics/insight.min.js",
+    "https://analytics.tiktok.com/i18n/pixel/events.js",
+    "https://cdn.thirdparty.net/lib.js",
+)
+_CMS_NAMES = ("WordPress 6.4", "Drupal 10", "Joomla 5", "Wix.com", "Squarespace")
+_WP_THEMES = ("astra", "divi", "oceanwp", "generatepress")
+
+
 def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
     """Interleaved span array for a fetched html page: list of
     (kind, text, media_ref, offset), offset strictly increasing.
-    Deterministic per URL; this is the engine's parse ground truth."""
+    Deterministic per URL; this is the engine's parse ground truth.
+    See the span micro-grammar above for how HTML attributes (heading
+    level, link rel, script async/defer, image dimensions, OpenGraph
+    props, CMS generator) are encoded in the fixed (kind, text,
+    media_ref, offset) shape mandated by the input_hint."""
     st = status_of(cfg, url_norm)
     if st != 200 or content_type_of(cfg, url_norm) != "text/html":
         return []
     links = outlinks_of(cfg, url_norm)
+    host = url_norm.split("/")[2]
     n_spans = 4 + _h(cfg.seed, "nspan", url_norm) % 8
     spans: list[tuple] = []
     offset = 0
@@ -289,6 +330,11 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
     title = " ".join(title_words)
     spans.append(("title", title, None, offset))
     offset += len(title) + 1
+    # CMS generator meta: per-page (like real sites — at most one), ~1/4
+    if _h(cfg.seed, "hasgen", url_norm) % 4 == 0:
+        cms = _CMS_NAMES[_h(cfg.seed, "cms", url_norm) % len(_CMS_NAMES)]
+        spans.append(("meta", f"generator: {cms}", None, offset))
+        offset += 15
     li = 0
     for k in range(n_spans):
         sel = _h(cfg.seed, "skind", url_norm, k) % 10
@@ -301,34 +347,83 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
             spans.append(("text", text, None, offset))
             offset += len(text) + 1
         elif sel < 6:
-            text = "h: " + _VOCAB[_h(cfg.seed, "hw", url_norm, k) % len(_VOCAB)]
+            # heading with level (headings_worker.py:167-245 per-level agg);
+            # h1 overweighted so keyword-overlap/hierarchy paths light up
+            lv = (1, 1, 2, 2, 3, 4, 5, 6)[_h(cfg.seed, "hlvl", url_norm, k) % 8]
+            words = [
+                _VOCAB[_h(cfg.seed, "hw", url_norm, k, w) % len(_VOCAB)]
+                for w in range(1 + _h(cfg.seed, "hn", url_norm, k) % 3)
+            ]
+            text = f"h{lv}: " + " ".join(words)
             spans.append(("heading", text, None, offset))
             offset += len(text) + 1
-        elif sel < 8 and li < len(links):
+        elif sel < 8:
             anchor = _VOCAB[_h(cfg.seed, "aw", url_norm, k) % len(_VOCAB)]
-            spans.append(("link", anchor, links[li], offset))
+            spec = _h(cfg.seed, "lspec", url_norm, k) % 14
+            if spec == 0:
+                ref = f"mailto:info@{host}"
+            elif spec == 1:
+                ref = "tel:+1-555-0100"
+            elif spec == 2:
+                ref = f"#section-{k}"
+            elif li < len(links):
+                ref = links[li]
+                li += 1
+            else:
+                ref = f"https://{host}/p/0"
+            a = _h(cfg.seed, "lattr", url_norm, k) % 10
+            attrs = ("", "", "", "", "", "", "nofollow", "sponsored,ugc",
+                     "blank", "nofollow,blank")[a]
+            text = f"{anchor}|{attrs}" if attrs else anchor
+            spans.append(("link", text, ref, offset))
             offset += len(anchor) + 1
-            li += 1
         elif sel == 8:
-            host = url_norm.split("/")[2]
-            m = _h(cfg.seed, "med", url_norm, k) % 6
+            m = _h(cfg.seed, "med", url_norm, k) % 8
             if m == 0:
-                spans.append(("script", None, f"https://{host}/js/app{k}.js", offset))
+                attrs = ("", "async", "defer", "async,module")[
+                    _h(cfg.seed, "sattr", url_norm, k) % 4
+                ]
+                spans.append(
+                    ("script", attrs or None, f"https://{host}/js/app{k}.js", offset)
+                )
             elif m == 1:
                 gid = _h(cfg.seed, "gid", url_norm) % 100000
                 spans.append(
-                    ("script", None,
+                    ("script", "async",
                      f"https://www.googletagmanager.com/gtag/js?id=G-{gid:05d}", offset)
                 )
             elif m == 2:
-                spans.append(
-                    ("script", None, f"https://cdn.thirdparty.net/lib{k}.js", offset)
-                )
+                tp = _TP_PROVIDERS[_h(cfg.seed, "tp", url_norm, k) % len(_TP_PROVIDERS)]
+                spans.append(("script", None, tp, offset))
+            elif m == 3:
+                fw = _FRAMEWORK_CDNS[_h(cfg.seed, "fw", url_norm) % len(_FRAMEWORK_CDNS)]
+                spans.append(("script", "defer", fw, offset))
+            elif m == 4:
+                size = 200 + _h(cfg.seed, "isz", url_norm, k) % 5000
+                spans.append(("script", f"inline:{size}", None, offset))
             else:
-                spans.append(("image", None, f"https://{host}/img/{k}.png", offset))
+                dims = ""
+                d = _h(cfg.seed, "idim", url_norm, k) % 4
+                if d == 1:
+                    dims = f"?w={1200 + k * 100}&h=800"   # oversized (>1000)
+                elif d == 2:
+                    dims = f"?w={40 + k}&h=60"            # undersized (<100)
+                elif d == 3:
+                    dims = "?w=640&h=480"
+                alt = (
+                    _VOCAB[_h(cfg.seed, "alt", url_norm, k) % len(_VOCAB)]
+                    if _h(cfg.seed, "hasalt", url_norm, k) % 3 != 0
+                    else None
+                )
+                theme = ""
+                if _h(cfg.seed, "thm", url_norm) % 5 == 0:
+                    theme = f"/wp-content/themes/{_WP_THEMES[_h(cfg.seed, 'thmn', url_norm) % len(_WP_THEMES)]}"
+                spans.append(
+                    ("image", alt, f"https://{host}{theme}/img/{k}.png{dims}", offset)
+                )
             offset += 1
         else:
-            m = _h(cfg.seed, "meta", url_norm, k) % 8
+            m = _h(cfg.seed, "meta", url_norm, k) % 12
             if m in (0, 1):
                 word = _VOCAB[_h(cfg.seed, "dw", url_norm, k) % len(_VOCAB)]
                 spans.append(("meta", f"description: {word} page", None, offset))
@@ -342,10 +437,13 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
                 spans.append(("meta", f"canonical: {target}", None, offset))
                 offset += 12
             elif m == 3:
-                spans.append(
-                    ("meta", "viewport: width=device-width, initial-scale=1",
-                     None, offset)
-                )
+                vp = (
+                    "width=device-width, initial-scale=1",
+                    "width=device-width, initial-scale=1",
+                    "width=device-width, initial-scale=1, user-scalable=no",
+                    "width=1024",
+                )[_h(cfg.seed, "vp", url_norm) % 4]
+                spans.append(("meta", f"viewport: {vp}", None, offset))
                 offset += 10
             elif m == 4:
                 lang = ("en-us", "de-de", "es-es")[_h(cfg.seed, "hl", url_norm, k) % 3]
@@ -354,13 +452,63 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
                 )
                 offset += 14
             elif m == 5:
-                st = ("Article", "Product", "FAQPage")[_h(cfg.seed, "sd", url_norm) % 3]
-                spans.append(("meta", f"jsonld: {st}", None, offset))
+                st2 = _JSONLD_TYPES[_h(cfg.seed, "sd", url_norm) % len(_JSONLD_TYPES)]
+                spans.append(("meta", f"jsonld: {st2}", None, offset))
                 offset += 11
+            elif m == 6:
+                st2 = _JSONLD_TYPES[_h(cfg.seed, "md", url_norm, k) % 4]
+                spans.append(("meta", f"microdata: {st2}", None, offset))
+                offset += 11
+            elif m == 7:
+                prop = ("title", "description", "image", "url", "type", "site_name")[
+                    _h(cfg.seed, "ogp", url_norm, k) % 6
+                ]
+                word = _VOCAB[_h(cfg.seed, "ogv", url_norm, k) % len(_VOCAB)]
+                spans.append(("meta", f"og:{prop}: {word}", None, offset))
+                offset += 13
+            elif m in (8, 9):
+                spans.append(("meta", f"amphtml: {url_norm}?amp=1", None, offset))
+                offset += 9
             else:
-                spans.append(("meta", "robots: index,follow", None, offset))
+                rb = (
+                    "index,follow", "index,follow", "index,follow",
+                    "index,follow", "noindex,nofollow", "noarchive,index",
+                )[_h(cfg.seed, "ridx", url_norm) % 6]
+                spans.append(("meta", f"robots: {rb}", None, offset))
                 offset += 22
     return spans
+
+
+_ENCODINGS = ("gzip", "gzip", "br", None, None)
+
+
+def response_headers_of(cfg: SynthConfig, url_norm: str) -> list[tuple[str, list[str]]]:
+    """Deterministic response headers, keys lowercased — the engine twin of
+    the reference item's ``response_headers: map<str, list<str>>``
+    (crawler/spider_project/spiders/domain_spider.py:556-571). Serves the
+    four header-reading workers: HTTP Link canonical
+    (canonical_worker.py:47-268), X-Robots-Tag (directives_worker.py:47-461),
+    header hreflang (hreflang_worker.py:51-383) and compression
+    (pagespeed_worker.py:46-535)."""
+    ct = content_type_of(cfg, url_norm)
+    hdrs: list[tuple[str, list[str]]] = [
+        ("content-type", [f"{ct}; charset=utf-8"]),
+        ("content-length", [str(1000 + _h(cfg.seed, "clen", url_norm) % 90000)]),
+    ]
+    enc = _ENCODINGS[_h(cfg.seed, "cenc", url_norm) % len(_ENCODINGS)]
+    if enc:
+        hdrs.append(("content-encoding", [enc]))
+    if _h(cfg.seed, "hlink", url_norm) % 5 == 0:
+        target = url_norm if _h(cfg.seed, "hlc", url_norm) % 2 else (
+            url_norm.rsplit("/", 1)[0] + "/0"
+        )
+        hdrs.append(("link", [f'<{target}>; rel="canonical"']))
+    xr = _h(cfg.seed, "xrob", url_norm) % 7
+    if xr == 0:
+        hdrs.append(("x-robots-tag", ["noindex, nofollow"]))
+    elif xr == 1:
+        hdrs.append(("x-robots-tag", ["noarchive"]))
+    return hdrs
 
 
 def doc_id_of(url_norm: str) -> str:
@@ -386,6 +534,7 @@ def fetch_one(cfg: SynthConfig, url_norm: str) -> dict:
         "outlinks": outlinks_of(cfg, url_norm),
         "robots_allowed": robots_allowed(cfg, url_norm),
         "latency_class": latency_class_of(cfg, url_norm),
+        "response_headers": dict(response_headers_of(cfg, url_norm)),
     }
 
 

@@ -1,61 +1,138 @@
-"""Extraction families (extract/spans.py) vs a pure-Python span oracle."""
+"""Extraction families (extract/spans.py) vs a pure-Python span oracle.
+
+Every test re-derives the expected field straight from synth.spans_of /
+synth.response_headers_of (the ground truth) and compares the engine's
+JVM-HOF output — field-level equality, not shape checks."""
 
 import pytest
 
 from crawler_distributed_spark import synth
-from crawler_distributed_spark.extract.spans import parse_docs
+from crawler_distributed_spark.extract.spans import (
+    THIRD_PARTY_SIGNATURES,
+    parse_docs,
+)
 
 CFG = synth.SynthConfig(n_hosts=3, pages_base=25, hot_factor=2, branching=5)
 
+_STOP = {"the", "and", "for", "with", "from", "this", "that", "page"}
 
-@pytest.fixture(scope="module")
-def docs(spark):
+
+def _doc_rows(with_headers: bool = False):
     rows = []
     for u in synth.all_urls(CFG):
         spans = synth.spans_of(CFG, u)
         if not spans:
             continue
         host = u.split("/")[2]
-        rows.append(
-            (
-                synth.doc_id_of(u),
-                u,
-                host,
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for (k, t, m, o) in spans
-                ],
-            )
-        )
+        row = [
+            synth.doc_id_of(u),
+            u,
+            host,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in spans
+            ],
+        ]
+        if with_headers:
+            row.append(dict(synth.response_headers_of(CFG, u)))
+        rows.append(tuple(row))
+    return rows
+
+
+_SCHEMA = (
+    "doc_id string, url_norm string, host string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(_doc_rows(), _SCHEMA)
+    parsed = parse_docs(df)
+    return {r["url_norm"]: r for r in parsed.collect()}
+
+
+@pytest.fixture(scope="module")
+def docs_h(spark):
     df = spark.createDataFrame(
-        rows,
-        "doc_id string, url_norm string, host string, "
-        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        _doc_rows(with_headers=True),
+        _SCHEMA + ", response_headers map<string, array<string>>",
     )
     parsed = parse_docs(df)
-    by_url = {r["url_norm"]: r for r in parsed.collect()}
-    return by_url
+    return {r["url_norm"]: r for r in parsed.collect()}
 
 
 def _spans(u):
     return synth.spans_of(CFG, u)
 
 
-def test_page_title(docs):
+def _metas(u, prefix):
+    return [t for (k, t, m, o) in _spans(u) if k == "meta" and t.startswith(prefix)]
+
+
+def _links(u):
+    return [(t, m) for (k, t, m, o) in _spans(u) if k == "link"]
+
+
+def _anchor(t):
+    return (t or "").split("|")[0]
+
+
+def _attrs(t):
+    return (t or "").split("|", 1)[1] if t and "|" in t else ""
+
+
+def _special(r):
+    return r.startswith(("mailto:", "tel:", "#", "javascript:"))
+
+
+def _internal(r, host):
+    if _special(r):
+        return False
+    if "://" not in r:
+        return True
+    rh = r.split("://", 1)[1].split("/", 1)[0].lower()
+    return rh == host or rh == f"www.{host}" or rh.endswith(f".{host}")
+
+
+# --- W1 / W2 ----------------------------------------------------------------
+
+
+def test_page_title_and_og(docs):
+    og_hit = 0
     for u, row in docs.items():
         titles = [t for (k, t, m, o) in _spans(u) if k == "title"]
         assert row.page_title.title == titles[0]
         assert row.page_title.title_length == len(titles[0])
         assert row.page_title.title_count == len(titles)
+        ogs = _metas(u, "og:")
+        assert row.page_title.og_count == len(ogs)
+        assert row.page_title.has_og == bool(ogs)
+        props = sorted({t.split(":")[1] for t in ogs})
+        assert list(row.page_title.og_props) == props
+        ogt = [t for t in ogs if t.startswith("og:title: ")]
+        want = ogt[0].removeprefix("og:title: ") if ogt else None
+        assert row.page_title.og_title == want
+        if ogs:
+            og_hit += 1
+    assert og_hit > 0
 
 
 def test_meta_description(docs):
     for u, row in docs.items():
-        descs = [
-            t for (k, t, m, o) in _spans(u) if k == "meta" and t.startswith("description:")
-        ]
-        want = descs[0] if descs else None
+        descs = _metas(u, "description:")
+        want = descs[0].removeprefix("description: ") if descs else None
         assert row.meta_description.meta_description == want
+        ln = len(want) if want else 0
+        assert row.meta_description.too_short == (0 < ln < 120)
+        assert row.meta_description.too_long == (ln > 160)
+
+
+# --- W3 headings -------------------------------------------------------------
+
+
+def _tokens(txt):
+    return {w for w in txt.lower().split(" ") if len(w) > 3 and w not in _STOP}
 
 
 def test_headings(docs):
@@ -73,42 +150,187 @@ def test_headings(docs):
     assert checked > 0
 
 
+def test_heading_levels_and_hierarchy(docs):
+    lvl_hit = skip_hit = ovl_hit = 0
+    for u, row in docs.items():
+        hs = [t for (k, t, m, o) in _spans(u) if k == "heading"]
+        levels = [int(t[1]) for t in hs]
+        for lv in range(1, 7):
+            assert row.headings_data[f"h{lv}"] == levels.count(lv)
+        if levels:
+            assert row.headings_data.first_level == levels[0]
+            assert row.headings_data.first_not_h1 == (levels[0] != 1)
+            lvl_hit += 1
+        skipped = sum(
+            1 for a, b in zip(levels, levels[1:]) if b > a + 1
+        )
+        assert row.headings_data.skipped_jumps == skipped
+        if skipped:
+            skip_hit += 1
+        # keyword overlap title vs h1
+        title = next(t for (k, t, m, o) in _spans(u) if k == "title")
+        h1 = " ".join(t[4:] for t in hs if t.startswith("h1: "))
+        ts, h1s = _tokens(title), _tokens(h1)
+        want = round(100.0 * len(ts & h1s) / len(ts), 1) if ts and h1s else None
+        got = row.headings_data.title_h1_overlap_pct
+        assert (got is None) == (want is None)
+        if want is not None:
+            assert abs(got - want) < 0.11
+            ovl_hit += 1
+    assert lvl_hit > 0 and skip_hit > 0 and ovl_hit > 0
+
+
+# --- W10/L2 links ------------------------------------------------------------
+
+
 def test_links(docs):
     checked = 0
     for u, row in docs.items():
-        refs = [m for (k, t, m, o) in _spans(u) if k == "link"]
         host = u.split("/")[2]
+        links = _links(u)
+        refs = [m for _, m in links]
         assert row.links_data.total == len(refs)
         assert row.links_data.unique == len(set(refs))
-        internal = [
-            r
-            for r in refs
-            if r.startswith(f"https://{host}")
-            or r.startswith(f"http://{host}")
-            or "://" not in r
-        ]
-        assert row.links_data.internal == len(internal)
-        assert row.links_data.external == len(refs) - len(internal)
+        internal = sum(1 for r in refs if _internal(r, host))
+        special = sum(1 for r in refs if _special(r))
+        assert row.links_data.internal == internal
+        assert row.links_data.special == special
+        assert row.links_data.external == len(refs) - internal - special
         if refs:
             checked += 1
     assert checked > 0
 
 
-def test_images_and_scripts(docs):
+def test_link_classes(docs):
+    rel_hit = special_hit = 0
     for u, row in docs.items():
-        imgs = [m for (k, t, m, o) in _spans(u) if k == "image"]
-        scripts = [m for (k, t, m, o) in _spans(u) if k == "script"]
-        assert row.images_data.total == len(imgs)
-        assert row.javascript_data.total == len(scripts)
+        links = _links(u)
+        attrs = [_attrs(t) for t, _ in links]
+        refs = [m for _, m in links]
+        assert row.links_data.nofollow == sum("nofollow" in a for a in attrs)
+        assert row.links_data.sponsored == sum("sponsored" in a for a in attrs)
+        assert row.links_data.ugc == sum("ugc" in a for a in attrs)
+        assert row.links_data.blank_target == sum("blank" in a for a in attrs)
+        assert row.links_data.mailto == sum(r.startswith("mailto:") for r in refs)
+        assert row.links_data.tel == sum(r.startswith("tel:") for r in refs)
+        assert row.links_data.fragment == sum(r.startswith("#") for r in refs)
+        assert row.links_data.javascript == sum(
+            r.startswith("javascript:") for r in refs
+        )
+        host = u.split("/")[2]
+        ext_domains = sorted(
+            {
+                r.split("://", 1)[1].split("/", 1)[0].lower()
+                for r in refs
+                if "://" in r and not _special(r) and not _internal(r, host)
+            }
+        )
+        assert list(row.links_data.external_domains) == ext_domains
+        anchors = [_anchor(t).lower() for t, _ in links]
+        freq = dict(row.links_data.anchor_freq)
+        assert freq == {a: anchors.count(a) for a in set(anchors)}
+        if any(attrs):
+            rel_hit += 1
+        if any(_special(r) for r in refs):
+            special_hit += 1
+    assert rel_hit > 0 and special_hit > 0
+
+
+# --- W8 images ---------------------------------------------------------------
+
+
+def _dim(r, key):
+    import re
+
+    m = re.search(rf"[?&]{key}=(\d+)", r)
+    return int(m.group(1)) if m else None
+
+
+def test_images(docs):
+    dim_hit = over_hit = 0
+    for u, row in docs.items():
+        imgs = [(t, m) for (k, t, m, o) in _spans(u) if k == "image"]
+        refs = [m for _, m in imgs]
+        assert row.images_data.total == len(refs)
+        assert row.images_data.missing_alt == sum(1 for t, _ in imgs if not t)
+        with_dims = [r for r in refs if _dim(r, "w") and _dim(r, "h")]
+        assert row.images_data.with_dimensions == len(with_dims)
+        over = sum(
+            1
+            for r in refs
+            if (_dim(r, "w") or 0) > 1000 or (_dim(r, "h") or 0) > 1000
+        )
+        under = sum(
+            1
+            for r in refs
+            if _dim(r, "w") and _dim(r, "h") and _dim(r, "w") < 100 and _dim(r, "h") < 100
+        )
+        assert row.images_data.oversized == over
+        assert row.images_data.undersized == under
+        if with_dims:
+            dim_hit += 1
+        if over:
+            over_hit += 1
+    assert dim_hit > 0 and over_hit > 0
+
+
+# --- W5 directives -----------------------------------------------------------
 
 
 def test_directives(docs):
+    noidx_hit = 0
     for u, row in docs.items():
-        robots = ",".join(
-            t for (k, t, m, o) in _spans(u) if k == "meta" and t.startswith("robots:")
-        )
+        robots = ",".join(_metas(u, "robots:"))
         assert row.directives_data.has_noindex == ("noindex" in robots)
         assert row.directives_data.is_indexable == ("noindex" not in robots)
+        assert row.directives_data.has_noarchive == ("noarchive" in robots)
+        if "noindex" in robots:
+            noidx_hit += 1
+    assert noidx_hit > 0
+
+
+# --- W9 javascript -----------------------------------------------------------
+
+
+def test_javascript(docs):
+    fw_hit = inline_hit = 0
+    for u, row in docs.items():
+        scripts = [(t, m) for (k, t, m, o) in _spans(u) if k == "script"]
+        ext = [(t, m) for t, m in scripts if m is not None]
+        inline = [(t, m) for t, m in scripts if m is None]
+        assert row.javascript_data.total == len(scripts)
+        assert row.javascript_data.external == len(ext)
+        assert row.javascript_data.inline == len(inline)
+        assert row.javascript_data.async_count == sum(
+            "async" in (t or "") for t, _ in ext
+        )
+        assert row.javascript_data.defer_count == sum(
+            "defer" in (t or "") for t, _ in ext
+        )
+        rb = sum(
+            1 for t, _ in ext if "async" not in (t or "") and "defer" not in (t or "")
+        )
+        assert row.javascript_data.render_blocking == rb
+        ib = sum(int((t or "inline:0").split(":")[1]) for t, _ in inline)
+        assert row.javascript_data.inline_bytes == ib
+        fws = sorted(
+            name
+            for name, sig in {"react": "react", "vue": "vue",
+                              "angular": "angular", "jquery": "jquery"}.items()
+            if any(sig in m.lower() for _, m in ext)
+        )
+        assert list(row.javascript_data.frameworks) == fws
+        assert row.javascript_data.spa_indicator == bool(
+            {"react", "vue", "angular"} & set(fws)
+        )
+        if fws:
+            fw_hit += 1
+        if inline:
+            inline_hit += 1
+    assert fw_hit > 0 and inline_hit > 0
+
+
+# --- W12 text metrics ---------------------------------------------------------
 
 
 def test_text_metrics(docs):
@@ -117,10 +339,13 @@ def test_text_metrics(docs):
         assert row.text_metrics.text_chars == sum(len(t) for t in texts)
         assert row.text_metrics.word_count == sum(len(t.split()) for t in texts)
         assert row.text_metrics.span_count == len(_spans(u))
+        assert row.text_metrics.paragraphs == sum(
+            1 for (k, t, m, o) in _spans(u) if k == "text"
+        )
+        assert row.text_metrics.html_size == max(o for (k, t, m, o) in _spans(u))
 
 
-def _metas(u, prefix):
-    return [t for (k, t, m, o) in _spans(u) if k == "meta" and t.startswith(prefix)]
+# --- W4 canonical -------------------------------------------------------------
 
 
 def test_canonical(docs):
@@ -133,6 +358,9 @@ def test_canonical(docs):
             assert row.canonical_data.is_self_canonical == (canons[0] == u)
             hit += 1
     assert hit > 0
+
+
+# --- W6 / W7 -----------------------------------------------------------------
 
 
 def test_ga_analytics(docs):
@@ -163,24 +391,54 @@ def test_hreflang(docs):
     assert hit > 0
 
 
-def test_mobile_and_structured(docs):
-    vp_hit = sd_hit = 0
+# --- W11 mobile ---------------------------------------------------------------
+
+
+def test_mobile_score(docs):
+    verdicts = set()
     for u, row in docs.items():
-        has_vp = bool(_metas(u, "viewport:"))
-        assert row.mobile_data.has_viewport == has_vp
-        if has_vp:
-            assert row.mobile_data.mobile_friendly == "likely"
-            vp_hit += 1
-        types = {t.removeprefix("jsonld: ") for t in _metas(u, "jsonld:")}
-        assert set(row.structured_data.types) == types
-        assert row.structured_data.has_product == ("Product" in types)
-        if types:
-            sd_hit += 1
-    assert vp_hit > 0 and sd_hit > 0
+        vps = _metas(u, "viewport:")
+        vp = vps[0].removeprefix("viewport: ") if vps else None
+        score = 100
+        if vp is None:
+            score -= 40 + 20 + 10
+        else:
+            if "width=device-width" not in vp:
+                score -= 20
+            if "initial-scale=1" not in vp:
+                score -= 10
+            if "user-scalable=no" in vp:
+                score -= 10
+        assert row.mobile_data.score == score, (u, vp)
+        want = "likely" if score >= 80 else "possibly" if score >= 50 else "unlikely"
+        assert row.mobile_data.mobile_friendly == want
+        assert row.mobile_data.has_amp_link == bool(_metas(u, "amphtml:"))
+        verdicts.add(want)
+    assert len(verdicts) >= 2  # the corpus exercises several verdicts
 
 
-def test_third_party_and_pagespeed(docs):
-    hit = 0
+# --- W14 structured -----------------------------------------------------------
+
+
+def test_structured(docs):
+    md_hit = 0
+    for u, row in docs.items():
+        jl = [t.removeprefix("jsonld: ") for t in _metas(u, "jsonld:")]
+        md = [t.removeprefix("microdata: ") for t in _metas(u, "microdata:")]
+        assert row.structured_data.schema_count == len(jl) + len(md)
+        assert list(row.structured_data.types) == sorted(set(jl + md))
+        assert row.structured_data.has_product == ("Product" in jl + md)
+        assert row.structured_data.has_organization == ("Organization" in jl + md)
+        if md:
+            md_hit += 1
+    assert md_hit > 0
+
+
+# --- W15 third-party ----------------------------------------------------------
+
+
+def test_third_party(docs):
+    prov_hit = cms_hit = theme_hit = 0
     for u, row in docs.items():
         host = u.split("/")[2]
         ext = [
@@ -188,13 +446,47 @@ def test_third_party_and_pagespeed(docs):
             if k == "script" and m and "://" in m and host not in m
         ]
         assert row.third_party_services.third_party_scripts == len(ext)
-        if ext:
-            hit += 1
+        provs = sorted(
+            name for name, sig in THIRD_PARTY_SIGNATURES.items()
+            if any(sig in r for r in ext)
+        )
+        assert list(row.third_party_services.providers) == provs
+        gen = _metas(u, "generator:")
+        if gen:
+            import re
+
+            want = re.match(r"^([A-Za-z.]+)", gen[0].removeprefix("generator: ")).group(1)
+            assert row.third_party_services.cms == want
+            cms_hit += 1
+        else:
+            assert row.third_party_services.cms is None
+        themes = [
+            m for (k, t, m, o) in _spans(u)
+            if m and "/wp-content/themes/" in m
+        ]
+        if themes:
+            assert row.third_party_services.wp_theme in themes[0]
+            theme_hit += 1
+        if provs:
+            prov_hit += 1
+    assert prov_hit > 0 and cms_hit > 0 and theme_hit > 0
+
+
+# --- W13 pagespeed ------------------------------------------------------------
+
+
+def test_pagespeed(docs):
+    for u, row in docs.items():
         n_scripts = sum(1 for (k, t, m, o) in _spans(u) if k == "script")
         n_images = sum(1 for (k, t, m, o) in _spans(u) if k == "image")
         assert row.pagespeed_data.scripts == n_scripts
         assert row.pagespeed_data.images == n_images
-    assert hit > 0
+        # no headers column in this fixture -> compression unknown
+        assert row.pagespeed_data.compression is None
+        assert row.pagespeed_data.is_compressed is False
+
+
+# --- W18 uri ------------------------------------------------------------------
 
 
 def test_uri_data(docs):
@@ -206,3 +498,66 @@ def test_uri_data(docs):
         assert row.uri_data.path == path, u
         assert row.uri_data.depth == len(segs)
         assert row.uri_data.has_query == ("?" in u)
+        # synth canonical paths are clean: full readability
+        assert row.uri_data.readability == 100
+        assert row.uri_data.has_issues is False
+        kws = sorted(
+            {
+                w
+                for s in segs
+                for w in __import__("re").split(r"[-_.]", s.lower())
+                if len(w) > 3
+            }
+        )
+        assert list(row.uri_data.seo_keywords) == kws
+
+
+# --- response-header families (W4/W5/W13 header paths) ------------------------
+
+
+def test_headers_directives(docs_h):
+    hit = 0
+    for u, row in docs_h.items():
+        hdrs = dict(synth.response_headers_of(CFG, u))
+        xr = ",".join(hdrs.get("x-robots-tag", []))
+        assert row.directives_data.x_robots_tag == xr
+        robots = ",".join(_metas(u, "robots:"))
+        combined = robots + "," + xr
+        assert row.directives_data.has_noindex == ("noindex" in combined)
+        assert row.directives_data.is_indexable == ("noindex" not in combined)
+        assert row.directives_data.has_noarchive == ("noarchive" in combined)
+        if xr:
+            hit += 1
+    assert hit > 0
+
+
+def test_headers_canonical(docs_h):
+    hit = conflict_hit = 0
+    for u, row in docs_h.items():
+        hdrs = dict(synth.response_headers_of(CFG, u))
+        link = ",".join(hdrs.get("link", []))
+        want = None
+        if 'rel="canonical"' in link:
+            want = link.split("<", 1)[1].split(">", 1)[0]
+        assert row.canonical_data.header_canonical == want
+        canons = [t.removeprefix("canonical: ") for t in _metas(u, "canonical:")]
+        conflict = bool(canons and want and canons[0] != want)
+        assert row.canonical_data.header_html_conflict == conflict
+        if want:
+            hit += 1
+        if conflict:
+            conflict_hit += 1
+    assert hit > 0 and conflict_hit > 0
+
+
+def test_headers_pagespeed(docs_h):
+    enc_hit = 0
+    for u, row in docs_h.items():
+        hdrs = dict(synth.response_headers_of(CFG, u))
+        enc = ",".join(hdrs.get("content-encoding", []))
+        assert row.pagespeed_data.compression == (enc or None)
+        assert row.pagespeed_data.is_compressed == bool(enc)
+        assert row.pagespeed_data.content_length == int(hdrs["content-length"][0])
+        if enc:
+            enc_hit += 1
+    assert enc_hit > 0
