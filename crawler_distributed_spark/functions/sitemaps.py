@@ -97,6 +97,47 @@ def parse_sitemap_udf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def filter_page_sitemaps(sitemap_urls: list[str]) -> tuple[list[str], bool]:
+    """Q4: order child sitemaps page-class first, keep unclassified
+    ('other') after them, DROP non-page ones — the reference's
+    filter_page_sitemaps (lib/utils/sitemap_utils.py:124-166; keyword
+    match over the full lowercased URL). Returns (ordered_urls,
+    found_page_sitemaps)."""
+    page, other = [], []
+    for u in sitemap_urls:
+        lu = u.lower()
+        if any(kw in lu for kw in PAGE_KEYWORDS):
+            page.append(u)
+        elif not any(kw in lu for kw in NON_PAGE_KEYWORDS):
+            other.append(u)
+    return page + other, bool(page)
+
+
+def scan_robots_for_sitemaps(robots_txt: str) -> list[str]:
+    """S5: extract ``Sitemap:`` directives from robots.txt
+    (lib/utils/sitemap_utils.py:93-96 regex)."""
+    import re
+
+    if not robots_txt:
+        return []
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"(?i)Sitemap:\s*(https?://\S+)", robots_txt)
+    ]
+
+
+def locate_sitemap_url(robots_txt: str | None, domain: str) -> str:
+    """S5: the reference's locate_sitemap_url (sitemap_utils.py:65-121):
+    first robots.txt ``Sitemap:`` hit wins; otherwise fall back to the
+    first common location (/sitemap.xml — in the synthetic web the first
+    candidate always exists, standing in for the reference's HEAD probe
+    over its 5-location list)."""
+    found = scan_robots_for_sitemaps(robots_txt or "")
+    if found:
+        return found[0]
+    return f"https://{domain}/sitemap.xml"
+
+
 def classify_sitemap_col(url: Column) -> Column:
     """Q4: 'page' / 'non_page' / 'other' by filename keyword — page-like
     sitemaps are crawled first, non-page ones dropped

@@ -78,8 +78,14 @@ def filter_candidates(candidates: DataFrame) -> DataFrame:
         r"[?&](download|dl|file)=[^&#]"
     )
     in_scope = (hst == F.col("allowed_host_1")) | (hst == F.col("allowed_host_2"))
+    content_ok = valid & ~deny & ~ext_hit & ~media_hit
+    if "is_control" in candidates.columns:
+        # control URLs (robots-discovered sitemaps) bypass the content
+        # filters — the reference fetches located sitemaps directly
+        # (sitemap_utils.py:65-121) — but remain scope-gated
+        content_ok = F.col("is_control") | content_ok
     return (
-        staged.where(in_scope & valid & ~deny & ~ext_hit & ~media_hit)
+        staged.where(in_scope & content_ok)
         .drop("_lu", "_path", "_host")
     )
 

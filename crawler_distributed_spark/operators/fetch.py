@@ -41,11 +41,16 @@ _RAW_FIELDS = [
     T.StructField("hdr_keys", T.ArrayType(T.StringType()), False),
     T.StructField("hdr_vals", T.ArrayType(T.ArrayType(T.StringType())), False),
     # sitemap-entry metadata (S6): filled when the fetched URL is a
-    # sitemap — the served XML is parsed right here (functions/sitemaps)
+    # sitemap — the served XML is parsed right here (functions/sitemaps);
+    # <sitemapindex> roots recurse through their Q4-filtered children
+    # in-fetch with the max_pages early break (domain_spider.py:326-354)
     T.StructField("sm_url", T.ArrayType(T.StringType()), False),
     T.StructField("sm_lastmod", T.ArrayType(T.StringType()), False),
     T.StructField("sm_priority", T.ArrayType(T.DoubleType()), False),
     T.StructField("sm_changefreq", T.ArrayType(T.StringType()), False),
+    # control URLs discovered by a robots.txt fetch (S5 Sitemap: scan);
+    # admitted to the frontier bypassing the F1-F5 content filters
+    T.StructField("discovered", T.ArrayType(T.StringType()), False),
 ]
 
 
@@ -63,9 +68,18 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
     out_schema = T.StructType(list(scheduled.schema.fields) + _RAW_FIELDS)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.sitemaps import parse_sitemap_xml
+        from ..functions.sitemaps import (
+            filter_page_sitemaps,
+            locate_sitemap_url,
+            parse_sitemap_xml,
+        )
 
         for pdf in batches:
+            mp_col = (
+                pdf["max_pages"].tolist()
+                if "max_pages" in pdf.columns
+                else [1 << 30] * len(pdf)
+            )
             n = len(pdf)
             statuses = [0] * n
             ctypes = [""] * n
@@ -79,6 +93,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             sm_lastmod: list = [None] * n
             sm_prio: list = [None] * n
             sm_freq: list = [None] * n
+            discovered: list = [None] * n
             lat: list = [0] * n
             hdr_keys: list = [None] * n
             hdr_vals: list = [None] * n
@@ -101,6 +116,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 sm_lastmod[i] = []
                 sm_prio[i] = []
                 sm_freq[i] = []
+                discovered[i] = []
                 if st == 200 and ct == "text/html":
                     doc_ids[i] = synth.doc_id_of(u)
                     spans = synth.spans_of(cfg, u)
@@ -112,10 +128,36 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                     j = synth.is_sitemap_url(cfg, u)
                     if j is not None:
                         parsed = parse_sitemap_xml(synth.sitemap_xml(cfg, j))
-                        sm_url[i] = [e["url"] for e in parsed["entries"]]
-                        sm_lastmod[i] = [e["lastmod"] for e in parsed["entries"]]
-                        sm_prio[i] = [e["priority"] for e in parsed["entries"]]
-                        sm_freq[i] = [e["changefreq"] for e in parsed["entries"]]
+                        entries = parsed["entries"]
+                        if parsed["is_index"]:
+                            # Q4: page-class children first, 'other' after,
+                            # non-page dropped; fetch children in that
+                            # order, stop once >= max_pages accumulated
+                            children, _ = filter_page_sitemaps(
+                                parsed["child_sitemaps"]
+                            )
+                            entries = []
+                            for cu in children:
+                                cp = parse_sitemap_xml(
+                                    synth.sitemap_xml_child(
+                                        cfg, j, cu.rsplit("/", 1)[1]
+                                    )
+                                )
+                                entries.extend(cp["entries"])
+                                if len(entries) >= mp_col[i]:
+                                    break
+                        sm_url[i] = [e["url"] for e in entries]
+                        sm_lastmod[i] = [e["lastmod"] for e in entries]
+                        sm_prio[i] = [e["priority"] for e in entries]
+                        sm_freq[i] = [e["changefreq"] for e in entries]
+                elif st == 200 and ct == "text/plain":
+                    j = synth.is_robots_url(cfg, u)
+                    if j is not None:
+                        discovered[i] = [
+                            locate_sitemap_url(
+                                synth.robots_txt_of(cfg, j), synth.host_name(j)
+                            )
+                        ]
             pdf = pdf.copy()
             pdf["status"] = pd.array(statuses, dtype="int32")
             pdf["content_type"] = ctypes
@@ -132,6 +174,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             pdf["latency_class"] = pd.array(lat, dtype="int32")
             pdf["hdr_keys"] = hdr_keys
             pdf["hdr_vals"] = hdr_vals
+            pdf["discovered"] = discovered
             yield pdf
 
     raw = scheduled.mapInPandas(do_fetch, schema=out_schema)
@@ -157,5 +200,6 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         spans,
         sitemap_entries,
         headers,
+        "discovered",
         "latency_class",
     )

@@ -64,14 +64,20 @@ def _host_of_raw(url: str) -> str:
     return host
 
 
-def _admissible(raw_url: str, allowed_hosts: tuple[str, str]) -> bool:
-    """F1-F5 on the raw href, in the engine's documented order."""
-    if not is_valid_url(raw_url):
-        return False
-    if is_denied(raw_url):
-        return False
-    if has_skipped_extension(raw_url) or is_media_url(raw_url):
-        return False
+def _admissible(
+    raw_url: str, allowed_hosts: tuple[str, str], control: bool = False
+) -> bool:
+    """F1-F5 on the raw href, in the engine's documented order. Control
+    URLs (robots-discovered sitemaps) bypass the content filters — the
+    reference fetches the located sitemap directly (sitemap_utils.py:
+    65-121), never through LinkExtractor — but stay scope-checked."""
+    if not control:
+        if not is_valid_url(raw_url):
+            return False
+        if is_denied(raw_url):
+            return False
+        if has_skipped_extension(raw_url) or is_media_url(raw_url):
+            return False
     return _host_of_raw(raw_url) in allowed_hosts
 
 
@@ -164,15 +170,19 @@ def run_oracle(
             st = synth.status_of(cfg, e.url_norm)
             ct = synth.content_type_of(cfg, e.url_norm)
             sm_host = synth.is_sitemap_url(cfg, e.url_norm)
+            rb_host = synth.is_robots_url(cfg, e.url_norm)
             if st == 200 and ct in PARSEABLE_CONTENT_TYPES:
                 pages[e.crawl_id] += 1
                 for idx, raw in enumerate(synth.outlinks_of(cfg, e.url_norm)):
                     admissions.append(
-                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0)
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0, False)
                     )
             elif st == 200 and sm_host is not None:
-                # sitemap: score entries (frozen clock), rank by score,
-                # truncate to max_pages (sitemap_utils.py:374-433)
+                # sitemap: aggregate entries (index hosts recurse through
+                # Q4-filtered children with the max_pages early break —
+                # synth.aggregated_sitemap_entries), score with the frozen
+                # clock, rank, truncate to max_pages (sitemap_utils.py:
+                # 374-433; domain_spider.py:326-354)
                 from .functions.sitemaps import sitemap_score_py
 
                 scored = [
@@ -183,18 +193,32 @@ def run_oracle(
                         ),
                         en["url"],
                     )
-                    for en in synth.sitemap_entries(cfg, sm_host)
+                    for en in synth.aggregated_sitemap_entries(
+                        cfg, sm_host, max_pages[e.crawl_id]
+                    )
                 ]
                 scored.sort(key=lambda t: (-t[0], t[1]))
                 for idx, (score, raw) in enumerate(scored[: max_pages[e.crawl_id]]):
                     admissions.append(
-                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, score)
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, score, False)
                     )
+            elif st == 200 and rb_host is not None:
+                # robots.txt control fetch: locate the sitemap (S5 —
+                # Sitemap: directive, else common-location fallback) and
+                # admit it as a control URL (bypasses F1-F5)
+                from .functions.sitemaps import locate_sitemap_url
+
+                located = locate_sitemap_url(
+                    synth.robots_txt_of(cfg, rb_host), synth.host_name(rb_host)
+                )
+                admissions.append(
+                    (e.discovery_seq, 0, e.crawl_id, located, e.depth + 1, 0.0, True)
+                )
             elif st == 301:
                 redirs = synth.outlinks_of(cfg, e.url_norm)
                 if redirs:
                     admissions.append(
-                        (e.discovery_seq, 0, e.crawl_id, redirs[0], e.depth, 0.0)
+                        (e.discovery_seq, 0, e.crawl_id, redirs[0], e.depth, 0.0, False)
                     )
             elif st in RETRYABLE_STATUSES:
                 attempts = e.attempts + 1
@@ -207,10 +231,10 @@ def run_oracle(
         # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
         admissions.sort(key=lambda a: (a[0], a[1]))
         admitted_in_batch: set[tuple] = set()
-        for parent_seq, idx, cid, raw, depth, prio in admissions:
+        for parent_seq, idx, cid, raw, depth, prio, control in admissions:
             if pages[cid] >= max_pages[cid]:
                 continue
-            if not _admissible(raw, allowed[cid]):
+            if not _admissible(raw, allowed[cid], control):
                 continue
             un = canonicalize_url(raw)
             if (cid, un) in admitted_in_batch or un in seen[cid]:

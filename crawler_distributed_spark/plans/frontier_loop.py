@@ -344,6 +344,11 @@ def run_crawl(
         scheduled = select_fetch_batch(
             eligible, budgets, policy, n_eligible=n_elig, host_quotas=host_quotas
         )
+        # the fetch stage needs max_pages for the sitemap-index early break
+        # (domain_spider.py:326-354); tiny broadcast dim join
+        scheduled = scheduled.join(
+            F.broadcast(crawls.select("crawl_id", "max_pages")), "crawl_id", "left"
+        )
 
         # materialization #1: politeness + fetch, straight into parquet
         with _timed("fetch+schedule write"):
@@ -452,6 +457,20 @@ def run_crawl(
                 F.col("e.url").alias("raw_url"), "priority_score",
             )
         )
+        # S5: robots.txt fetches surface the located sitemap URL as a
+        # CONTROL link — admitted with the F1-F5 content filters bypassed
+        # (the reference fetches the located sitemap directly,
+        # sitemap_utils.py:65-121, never through LinkExtractor)
+        ctrl = (
+            fetched.where(F.size("discovered") > 0)
+            .select(
+                "crawl_id",
+                F.col("discovery_seq").alias("parent_seq"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("discovered").alias("link_idx", "raw_url"),
+            )
+            .withColumn("priority_score", F.lit(0.0))
+        )
         # active-crawl restriction via broadcast semi-join on the budget
         # state (an isin() literal list would break the plan at 10^4+ crawls)
         active_df = budget_state.where(F.col("pages") < F.col("max_pages")).select(
@@ -459,6 +478,8 @@ def run_crawl(
         )
         candidates = (
             parsed.unionByName(redirected).unionByName(sm)
+            .withColumn("is_control", F.lit(False))
+            .unionByName(ctrl.withColumn("is_control", F.lit(True)))
             .join(F.broadcast(active_df), "crawl_id", "left_semi")
             .join(
                 F.broadcast(

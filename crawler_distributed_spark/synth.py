@@ -109,6 +109,39 @@ def sitemap_url(j: int) -> str:
     return f"https://{host_name(j)}/sitemap.xml"
 
 
+def robots_txt_url(j: int) -> str:
+    return f"https://{host_name(j)}/robots.txt"
+
+
+def is_robots_url(cfg: SynthConfig, url_norm: str):
+    """Returns host index j if url_norm is a robots.txt URL, else None."""
+    if not url_norm.endswith("/robots.txt"):
+        return None
+    rest = url_norm.removeprefix("https://")
+    host, _, path = rest.partition("/")
+    if (
+        path != "robots.txt"
+        or not host.startswith("h")
+        or not host.endswith(".example.com")
+    ):
+        return None
+    try:
+        j = int(host[1 : -len(".example.com")])
+    except ValueError:
+        return None
+    return j if 0 <= j < cfg.n_hosts else None
+
+
+def robots_txt_of(cfg: SynthConfig, j: int) -> str:
+    """robots.txt body served at robots_txt_url(j): the /private disallow
+    plus (for ~2/3 of hosts) a ``Sitemap:`` directive — the S5 discovery
+    surface (lib/utils/sitemap_utils.py:65-121 scans exactly this)."""
+    lines = ["User-agent: *", "Disallow: /private/"]
+    if _h(cfg.seed, "smline", j) % 3 != 0:
+        lines.append(f"Sitemap: {sitemap_url(j)}")
+    return "\n".join(lines)
+
+
 def is_sitemap_url(cfg: SynthConfig, url_norm: str):
     """Returns host index j if url_norm is a known sitemap URL, else None."""
     if not url_norm.endswith("/sitemap.xml"):
@@ -148,10 +181,9 @@ def sitemap_entries(cfg: SynthConfig, j: int, cap: int = 60) -> list[dict]:
     return out
 
 
-def sitemap_xml(cfg: SynthConfig, j: int) -> str:
-    """The actual XML document served at sitemap_url(j)."""
+def _urlset_xml(entries: list[dict]) -> str:
     rows = []
-    for e in sitemap_entries(cfg, j):
+    for e in entries:
         parts = [f"<loc>{e['url']}</loc>"]
         if e["lastmod"]:
             parts.append(f"<lastmod>{e['lastmod']}</lastmod>")
@@ -167,11 +199,90 @@ def sitemap_xml(cfg: SynthConfig, j: int) -> str:
     )
 
 
+def sitemap_layout(cfg: SynthConfig, j: int) -> str:
+    """'index' hosts serve a <sitemapindex> at /sitemap.xml (child
+    sitemaps below); 'urlset' hosts serve the flat urlset."""
+    return "index" if _h(cfg.seed, "smidx", j) % 2 == 0 else "urlset"
+
+
+# child names exercise all three Q4 classes: pages/posts -> page-class,
+# news -> non-page (dropped), misc -> other (kept after page-class)
+CHILD_SITEMAP_NAMES = (
+    "sitemap-pages.xml", "sitemap-posts.xml", "sitemap-news.xml",
+    "sitemap-misc.xml",
+)
+
+
+def child_sitemap_urls(cfg: SynthConfig, j: int) -> list[str]:
+    return [f"https://{host_name(j)}/{n}" for n in CHILD_SITEMAP_NAMES]
+
+
+def child_sitemap_entries(cfg: SynthConfig, j: int, name: str) -> list[dict]:
+    """Entry partition per child sitemap (index hosts): pages/posts/misc
+    partition the host's entries by i%3; news duplicates a head slice
+    (dropped by Q4 filtering, so the duplication is never observable)."""
+    entries = sitemap_entries(cfg, j)
+    if name == "sitemap-pages.xml":
+        return [e for i, e in enumerate(entries) if i % 3 == 0]
+    if name == "sitemap-posts.xml":
+        return [e for i, e in enumerate(entries) if i % 3 == 1]
+    if name == "sitemap-misc.xml":
+        return [e for i, e in enumerate(entries) if i % 3 == 2]
+    if name == "sitemap-news.xml":
+        return entries[:6]
+    return []
+
+
+def sitemap_xml(cfg: SynthConfig, j: int) -> str:
+    """The actual XML document served at sitemap_url(j): a urlset, or a
+    <sitemapindex> on index-layout hosts (sitemap_utils.py:270-307)."""
+    if sitemap_layout(cfg, j) == "index":
+        rows = "".join(
+            f"<sitemap><loc>{u}</loc></sitemap>" for u in child_sitemap_urls(cfg, j)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + rows
+            + "</sitemapindex>"
+        )
+    return _urlset_xml(sitemap_entries(cfg, j))
+
+
+def sitemap_xml_child(cfg: SynthConfig, j: int, name: str) -> str:
+    return _urlset_xml(child_sitemap_entries(cfg, j, name))
+
+
+def aggregated_sitemap_entries(
+    cfg: SynthConfig, j: int, max_pages: int
+) -> list[dict]:
+    """SEMANTICS twin of the fetch stage's sitemap handling, used by the
+    pure-Python oracle (implementation-independent: the engine goes
+    through real XML parse, this goes through entry metadata): urlset →
+    all entries; index → Q4-filter children (page first, other after,
+    non-page dropped), aggregate child entries in that order, stop once
+    >= max_pages accumulated (domain_spider.py:326-354 early break)."""
+    if sitemap_layout(cfg, j) != "index":
+        return sitemap_entries(cfg, j)
+    from .functions.sitemaps import filter_page_sitemaps
+
+    children, _ = filter_page_sitemaps(child_sitemap_urls(cfg, j))
+    out: list[dict] = []
+    for cu in children:
+        out.extend(child_sitemap_entries(cfg, j, cu.rsplit("/", 1)[1]))
+        if len(out) >= max_pages:
+            break
+    return out
+
+
 def status_of(cfg: SynthConfig, url_norm: str) -> int:
-    """HTTP status for a URL. Homepages/sitemaps always 200; unknown 404."""
+    """HTTP status for a URL. Homepages/sitemaps/robots always 200;
+    unknown 404."""
     if is_homepage(cfg, url_norm) is not None:
         return 200
     if is_sitemap_url(cfg, url_norm) is not None:
+        return 200
+    if is_robots_url(cfg, url_norm) is not None:
         return 200
     ji = parse_page_url(cfg, url_norm)
     if ji is None:
@@ -195,6 +306,8 @@ def status_of(cfg: SynthConfig, url_norm: str) -> int:
 def content_type_of(cfg: SynthConfig, url_norm: str) -> str:
     if is_sitemap_url(cfg, url_norm) is not None:
         return "application/xml"
+    if is_robots_url(cfg, url_norm) is not None:
+        return "text/plain"
     if is_homepage(cfg, url_norm) is not None:
         return "text/html"
     y = _h(cfg.seed, "ctype", url_norm) % 100
@@ -552,17 +665,27 @@ def seed_rows(
     n_crawls: int | None = None,
     max_pages: int = 25,
     use_sitemap: bool = False,
+    via_robots: bool = False,
 ):
     """Seed-list rows (schemas.SEEDS): one crawl per host, reference-style
     (one domain per crawl job, crawler/scripts/submit_crawl_job.py:120-150).
     With use_sitemap, the crawl is seeded from the host's sitemap instead
-    of the homepage (domain_spider.py use_sitemap path)."""
+    of the homepage (domain_spider.py use_sitemap path); with via_robots
+    on top, it starts at robots.txt and DISCOVERS the sitemap from the
+    ``Sitemap:`` directive / common-location fallback
+    (sitemap_utils.py:65-121 locate_sitemap_url)."""
     n = n_crawls if n_crawls is not None else cfg.n_hosts
+    if use_sitemap and via_robots:
+        url_of = robots_txt_url
+    elif use_sitemap:
+        url_of = sitemap_url
+    else:
+        url_of = lambda j: None  # noqa: E731
     return [
         {
             "crawl_id": f"crawl-{j:03d}",
             "domain": host_name(j),
-            "url": sitemap_url(j) if use_sitemap else None,
+            "url": url_of(j),
             "max_pages": max_pages,
             "single_url": False,
             "use_sitemap": use_sitemap,

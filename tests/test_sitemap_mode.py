@@ -46,6 +46,84 @@ def test_sitemap_seen_equality(spark, results):
     assert seen == oracle.seen
 
 
+# --- sitemap-index recursion + robots Sitemap: discovery --------------------
+# hosts 0-3 serve flat urlsets, hosts 4-5 serve <sitemapindex> roots;
+# hosts 1 and 5 have no Sitemap: line in robots.txt (fallback path)
+
+CFG6 = synth.SynthConfig(n_hosts=6, pages_base=12, hot_factor=2, branching=4)
+
+
+def _run_pair(spark, tmp_path_factory, seeds, name):
+    oracle = run_oracle(CFG6, seeds, POLICY)
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG6))
+    d = str(tmp_path_factory.mktemp(name))
+    engine = run_crawl(spark, CFG6, seeds, robots, d, POLICY)
+    return oracle, engine
+
+
+@pytest.fixture(scope="module")
+def results_index(spark, tmp_path_factory):
+    return _run_pair(
+        spark, tmp_path_factory,
+        synth.seed_rows(CFG6, max_pages=6, use_sitemap=True), "smidx_ckpt",
+    )
+
+
+@pytest.fixture(scope="module")
+def results_robots(spark, tmp_path_factory):
+    return _run_pair(
+        spark, tmp_path_factory,
+        synth.seed_rows(CFG6, max_pages=6, use_sitemap=True, via_robots=True),
+        "smrob_ckpt",
+    )
+
+
+def test_sitemap_index_trace_equality(spark, results_index):
+    """An index-rooted sitemap crawl (Q4 child filtering + max_pages early
+    break) must trace-match the pure-Python oracle exactly."""
+    oracle, engine = results_index
+    etrace = sorted(
+        (r.crawl_id, r.batch_id, r.seq_in_batch, r.url_norm, r.host, r.depth)
+        for r in engine.trace(spark).collect()
+    )
+    assert etrace == sorted(oracle.trace)
+    # the index layout must actually be exercised
+    assert any(synth.sitemap_layout(CFG6, j) == "index" for j in range(6))
+    # index hosts still crawl content pages (entries came from children)
+    idx_host = next(j for j in range(6) if synth.sitemap_layout(CFG6, j) == "index")
+    assert any(
+        h == synth.host_name(idx_host) and "/p/" in u
+        for (_, _, _, u, h, _) in oracle.trace
+    )
+
+
+def test_robots_discovery_trace_equality(spark, results_robots):
+    """Crawls seeded at robots.txt must discover the sitemap (Sitemap:
+    directive, or common-location fallback) and trace-match the oracle."""
+    oracle, engine = results_robots
+    etrace = sorted(
+        (r.crawl_id, r.batch_id, r.seq_in_batch, r.url_norm, r.host, r.depth)
+        for r in engine.trace(spark).collect()
+    )
+    assert etrace == sorted(oracle.trace)
+    urls = [u for (_, _, _, u, _, _) in oracle.trace]
+    assert any(u.endswith("/robots.txt") for u in urls)
+    assert any(u.endswith("/sitemap.xml") for u in urls)
+    # the fallback host (no Sitemap: line) must still reach its sitemap
+    fb = next(
+        j for j in range(6) if synth._h(CFG6.seed, "smline", j) % 3 == 0
+    )
+    assert f"https://{synth.host_name(fb)}/sitemap.xml" in urls
+
+
+def test_robots_discovery_seen_equality(spark, results_robots):
+    oracle, engine = results_robots
+    seen = {}
+    for r in engine.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle.seen
+
+
 def test_sitemap_priority_actually_orders(spark, results):
     """Scheduled page order within a batch must follow score order, not
     page number — i.e. the priority column is load-bearing."""
