@@ -80,6 +80,13 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 if "max_pages" in pdf.columns
                 else [1 << 30] * len(pdf)
             )
+            # P6: per-row fetch strategy (0=direct, 1=proxy, 2=render),
+            # already max()ed from host escalation state + 403 force-proxy
+            lvl_col = (
+                pdf["strategy_level"].tolist()
+                if "strategy_level" in pdf.columns
+                else [0] * len(pdf)
+            )
             n = len(pdf)
             statuses = [0] * n
             ctypes = [""] * n
@@ -98,7 +105,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             hdr_keys: list = [None] * n
             hdr_vals: list = [None] * n
             for i, u in enumerate(pdf["url_norm"].tolist()):
-                st = synth.status_of(cfg, u)
+                st = synth.status_of(cfg, u, int(lvl_col[i]))
                 ct = synth.content_type_of(cfg, u)
                 statuses[i] = st
                 ctypes[i] = ct

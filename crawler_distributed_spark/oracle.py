@@ -41,6 +41,7 @@ class _Entry:
     discovery_seq: int
     attempts: int = 0
     not_before_batch: int = 0
+    forced_strategy: int = 0  # P6: 403 retries force proxy (level >= 1)
 
     def key(self):
         return (self.depth, -self.priority_score, self.discovery_seq)
@@ -52,6 +53,7 @@ class OracleResult:
     seen: dict = field(default_factory=dict)    # crawl_id -> set[url_norm]
     robots_blocked: dict = field(default_factory=dict)
     pages_crawled: dict = field(default_factory=dict)
+    failed_pages: dict = field(default_factory=dict)  # crawl_id -> failed attempts
     n_batches: int = 0
 
 
@@ -91,8 +93,12 @@ def run_oracle(
     seen: dict[str, set] = {}
     blocked: dict[str, set] = {}
     pages: dict[str, int] = {}
+    failed: dict[str, int] = {}
     max_pages: dict[str, int] = {}
     allowed: dict[str, tuple[str, str]] = {}
+    # P6 escalation state: (crawl_id, host) -> count of all-fail batches;
+    # effective fetch level = min(2, count) ∨ entry.forced_strategy
+    fail_batches: dict[tuple, int] = {}
     next_seq = 0
 
     # --- seed admission, in sorted-crawl_id order (engine parity)
@@ -101,6 +107,7 @@ def run_oracle(
         seen[cid] = set()
         blocked[cid] = set()
         pages[cid] = 0
+        failed[cid] = 0
         max_pages[cid] = s["max_pages"]
         dom = s["domain"]
         allowed[cid] = (
@@ -122,7 +129,11 @@ def run_oracle(
     # --- batch loop
     batch = 0
     while batch < policy.max_batches:
-        active = {c for c in pages if pages[c] < max_pages[c]}
+        active = {
+            c
+            for c in pages
+            if pages[c] < max_pages[c] and failed[c] < policy.max_failed_pages
+        }
         eligible = [
             e for e in queued if e.crawl_id in active and e.not_before_batch <= batch
         ]
@@ -162,12 +173,19 @@ def run_oracle(
         # trace + fetch
         seq_in_batch: dict[str, int] = {}
         admissions: list[tuple] = []  # (parent_seq, link_idx, crawl_id, raw, depth)
+        batch_statuses: dict[tuple, list[int]] = {}
         for e in scheduled:
             k = seq_in_batch.get(e.crawl_id, 0) + 1
             seq_in_batch[e.crawl_id] = k
             res.trace.append((e.crawl_id, batch, k, e.url_norm, e.host, e.depth))
 
-            st = synth.status_of(cfg, e.url_norm)
+            lvl = max(
+                min(2, fail_batches.get((e.crawl_id, e.host), 0)), e.forced_strategy
+            )
+            st = synth.status_of(cfg, e.url_norm, lvl)
+            batch_statuses.setdefault((e.crawl_id, e.host), []).append(st)
+            if st >= 400:
+                failed[e.crawl_id] += 1
             ct = synth.content_type_of(cfg, e.url_norm)
             sm_host = synth.is_sitemap_url(cfg, e.url_norm)
             rb_host = synth.is_robots_url(cfg, e.url_norm)
@@ -225,14 +243,23 @@ def run_oracle(
                 if attempts <= policy.max_attempts_for(st):
                     e.attempts = attempts
                     e.not_before_batch = batch + policy.backoff(attempts, st)
+                    if st == 403:
+                        # force the proxy strategy on the retry
+                        # (retry_middleware.py:33-55)
+                        e.forced_strategy = max(e.forced_strategy, 1)
                     queued.append(e)
             # 200 non-parseable / fatal statuses: terminal, nothing admitted
+
+        # P6: hosts whose every fetch this batch failed escalate one level
+        for key, sts in batch_statuses.items():
+            if sts and all(s >= 400 for s in sts):
+                fail_batches[key] = fail_batches.get(key, 0) + 1
 
         # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
         admissions.sort(key=lambda a: (a[0], a[1]))
         admitted_in_batch: set[tuple] = set()
         for parent_seq, idx, cid, raw, depth, prio, control in admissions:
-            if pages[cid] >= max_pages[cid]:
+            if pages[cid] >= max_pages[cid] or failed[cid] >= policy.max_failed_pages:
                 continue
             if not _admissible(raw, allowed[cid], control):
                 continue
@@ -252,5 +279,6 @@ def run_oracle(
     res.seen = seen
     res.robots_blocked = blocked
     res.pages_crawled = pages
+    res.failed_pages = failed
     res.n_batches = batch
     return res

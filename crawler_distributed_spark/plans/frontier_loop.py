@@ -65,6 +65,7 @@ from ..storage import BatchStore
 _FRONTIER_COLS = [
     "crawl_id", "url", "url_norm", "url_hash", "url_fp", "host", "depth",
     "priority_score", "discovery_seq", "state", "attempts", "not_before_batch",
+    "forced_strategy",
 ]
 
 _RETRYABLE_LIST = sorted(RETRYABLE_STATUSES)
@@ -174,6 +175,7 @@ def _finish_frontier_rows(admitted_ok: DataFrame) -> DataFrame:
         F.lit("queued").alias("state"),
         F.lit(0).alias("attempts"),
         F.lit(0).cast("long").alias("not_before_batch"),
+        F.lit(0).alias("forced_strategy"),
     )
 
 
@@ -238,8 +240,8 @@ def init_crawl(
     store.write_table(_finish_frontier_rows(queued), -1, "frontier")
     frontier = store.read_table(spark, -1, "frontier")
     budget = spark.createDataFrame(
-        [(s["crawl_id"], 0, int(s["max_pages"])) for s in ordered],
-        "crawl_id string, pages int, max_pages int",
+        [(s["crawl_id"], 0, 0, int(s["max_pages"])) for s in ordered],
+        "crawl_id string, pages int, failed int, max_pages int",
     )
     store.write_table(budget, -1, "budget")
     store.commit(-1, {"next_seq": int(n_queued)})
@@ -298,6 +300,15 @@ def run_crawl(
         )
     )
 
+    # P6 escalation state: per (crawl, host) count of all-fail batches;
+    # strategy level = min(2, fail_batches) (direct -> proxy -> render,
+    # base_spider.py:151-244 made batch-deterministic)
+    strat_state = (
+        store.read_table(spark, last, "strategy")
+        if _table_exists(store, last, "strategy")
+        else spark.createDataFrame([], "crawl_id string, host string, fail_batches int")
+    ).localCheckpoint()
+
     bloom = None
     if policy.use_bloom:
         seen_all = store.read_appendonly(spark, last, "admitted")
@@ -310,9 +321,10 @@ def run_crawl(
     batch_seconds: list = []
     while batch < policy.max_batches:
         _bt0 = time.time()
-        budgets = budget_state.where(F.col("pages") < F.col("max_pages")).select(
-            "crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining")
-        )
+        budgets = budget_state.where(
+            (F.col("pages") < F.col("max_pages"))
+            & (F.col("failed") < F.lit(policy.max_failed_pages))
+        ).select("crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining"))
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
         with _timed("counts"):
@@ -349,6 +361,15 @@ def run_crawl(
         scheduled = scheduled.join(
             F.broadcast(crawls.select("crawl_id", "max_pages")), "crawl_id", "left"
         )
+        # P6: effective strategy = host escalation level ∨ per-URL 403
+        # force-proxy carried on the frontier row (retry_middleware.py:33-55)
+        scheduled = scheduled.join(strat_state, ["crawl_id", "host"], "left").withColumn(
+            "strategy_level",
+            F.greatest(
+                F.least(F.coalesce(F.col("fail_batches"), F.lit(0)), F.lit(2)),
+                F.col("forced_strategy"),
+            ),
+        ).drop("fail_batches")
 
         # materialization #1: politeness + fetch, straight into parquet
         with _timed("fetch+schedule write"):
@@ -365,18 +386,45 @@ def run_crawl(
             fetched if policy.count_scheduled_in_budget else fetched.where(_is_page())
         )
         deltas = budget_rows.groupBy("crawl_id").agg(F.count("*").alias("_n"))
+        fail_deltas = (
+            fetched.where(F.col("status") >= 400)
+            .groupBy("crawl_id")
+            .agg(F.count("*").alias("_f"))
+        )
         with _timed("budget update"):
             budget_state = (
                 budget_state.join(deltas, "crawl_id", "left")
+                .join(fail_deltas, "crawl_id", "left")
                 .select(
                     "crawl_id",
                     (F.col("pages") + F.coalesce(F.col("_n"), F.lit(0)))
                     .cast("int")
                     .alias("pages"),
+                    (F.col("failed") + F.coalesce(F.col("_f"), F.lit(0)))
+                    .cast("int")
+                    .alias("failed"),
                     "max_pages",
                 )
                 .localCheckpoint()
             )
+        # P6: hosts whose every fetch this batch failed escalate one level
+        host_fail = fetched.groupBy("crawl_id", "host").agg(
+            (F.max(F.when(F.col("status") < 400, 1).otherwise(0)) == 0).alias("_allfail")
+        )
+        strat_state = (
+            strat_state.join(host_fail, ["crawl_id", "host"], "full")
+            .select(
+                "crawl_id",
+                "host",
+                (
+                    F.coalesce(F.col("fail_batches"), F.lit(0))
+                    + F.when(F.coalesce(F.col("_allfail"), F.lit(False)), 1).otherwise(0)
+                )
+                .cast("int")
+                .alias("fail_batches"),
+            )
+            .localCheckpoint()
+        )
 
         # --- retries (Q7/P8: per-status multiplier + per-status retry cap,
         # backoff in batches, bury past the cap — retry_middleware.py:33-55)
@@ -399,6 +447,13 @@ def run_crawl(
                 + F.least(
                     F.ceil(mult * F.pow(F.lit(2.0), F.col("attempts"))),
                     F.lit(policy.backoff_cap).cast("long"),
+                ),
+            )
+            # 403 retries force the proxy strategy (retry_middleware.py:33-55)
+            .withColumn(
+                "forced_strategy",
+                F.when(F.col("status") == 403, F.lit(1)).otherwise(
+                    F.col("forced_strategy")
                 ),
             )
             .select(*_FRONTIER_COLS)
@@ -473,9 +528,10 @@ def run_crawl(
         )
         # active-crawl restriction via broadcast semi-join on the budget
         # state (an isin() literal list would break the plan at 10^4+ crawls)
-        active_df = budget_state.where(F.col("pages") < F.col("max_pages")).select(
-            "crawl_id"
-        )
+        active_df = budget_state.where(
+            (F.col("pages") < F.col("max_pages"))
+            & (F.col("failed") < F.lit(policy.max_failed_pages))
+        ).select("crawl_id")
         candidates = (
             parsed.unionByName(redirected).unionByName(sm)
             .withColumn("is_control", F.lit(False))
@@ -576,6 +632,7 @@ def run_crawl(
         if durable:
             store.write_table(frontier, batch, "frontier")
             store.write_table(budget_state, batch, "budget")
+            store.write_table(strat_state, batch, "strategy")
             if policy.autothrottle:
                 store.write_table(host_lat, batch, "hostlat")
             store.commit(batch, {"next_seq": next_seq})
@@ -591,5 +648,6 @@ def run_crawl(
     if final > last_committed:
         store.write_table(frontier, final, "frontier")
         store.write_table(budget_state, final, "budget")
+        store.write_table(strat_state, final, "strategy")
         store.commit(final, {"next_seq": next_seq})
     return CrawlRunResult(store, final, _pages_dict(budget_state), batch_seconds)

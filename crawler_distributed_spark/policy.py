@@ -69,6 +69,10 @@ class CrawlPolicy:
     use_bloom: bool = True       # partitioned bloom pre-filter ahead of the
                                  # seen anti-join (bloom misses bypass the join)
     bloom_buckets: int = 64      # bloom bitmap partitioning width
+    max_failed_pages: int = 20   # Q6: abort admission for a crawl once its
+                                 # cumulative failed fetch attempts
+                                 # (status>=400) reach this (MAX_FAILED_PAGES,
+                                 # base_spider.py:232-243, settings.py:75-76)
     count_scheduled_in_budget: bool = False  # True: max_pages counts scheduled
                                              # fetches, not just successful html
                                              # pages (reference counts successes;

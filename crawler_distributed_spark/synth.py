@@ -275,16 +275,30 @@ def aggregated_sitemap_entries(
     return out
 
 
-def status_of(cfg: SynthConfig, url_norm: str) -> int:
-    """HTTP status for a URL. Homepages/sitemaps/robots always 200;
-    unknown 404."""
-    if is_homepage(cfg, url_norm) is not None:
-        return 200
+def host_blocked(cfg: SynthConfig, j: int) -> bool:
+    """~1/7 of hosts refuse direct fetches outright (403 on every page)
+    until the fetch strategy escalates to proxy — the P5/P6 surface
+    (middlewares/proxy_middleware.py:40-95, base_spider.py:151-244)."""
+    return _h(cfg.seed, "hostblock", j) % 7 == 0
+
+
+def status_of(cfg: SynthConfig, url_norm: str, strategy_level: int = 0) -> int:
+    """HTTP status SERVED to a fetch at the given strategy level
+    (0=direct, 1=proxy, 2=render). Homepages/sitemaps/robots always 200
+    except on blocked hosts (pages+homepage 403 at direct); hash-403
+    pages succeed from proxy up (the reference force-proxies 403 retries,
+    middlewares/retry_middleware.py:33-55). Unknown URLs 404."""
     if is_sitemap_url(cfg, url_norm) is not None:
         return 200
     if is_robots_url(cfg, url_norm) is not None:
         return 200
+    hp = is_homepage(cfg, url_norm)
     ji = parse_page_url(cfg, url_norm)
+    j = hp if hp is not None else (ji[0] if ji is not None else None)
+    if j is not None and host_blocked(cfg, j) and strategy_level == 0:
+        return 403
+    if hp is not None:
+        return 200
     if ji is None:
         return 404
     x = _h(cfg.seed, "status", url_norm) % 100
@@ -293,7 +307,7 @@ def status_of(cfg: SynthConfig, url_norm: str) -> int:
     if x < 88:
         return 301
     if x < 90:
-        return 403
+        return 200 if strategy_level >= 1 else 403
     if x < 92:
         return 404
     if x < 94:
@@ -360,7 +374,8 @@ def outlinks_of(cfg: SynthConfig, url_norm: str) -> list[str]:
     if ji is None:
         return []
     j, i = ji
-    st = status_of(cfg, url_norm)
+    # content identity is strategy-independent (level 2 = best access)
+    st = status_of(cfg, url_norm, 2)
     if st == 301:
         return [page_url(cfg, j, (i * 7 + 1) % cfg.n_pages(j))]
     if st != 200 or content_type_of(cfg, url_norm) != "text/html":
@@ -429,7 +444,8 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
     level, link rel, script async/defer, image dimensions, OpenGraph
     props, CMS generator) are encoded in the fixed (kind, text,
     media_ref, offset) shape mandated by the input_hint."""
-    st = status_of(cfg, url_norm)
+    # content identity is strategy-independent (level 2 = best access)
+    st = status_of(cfg, url_norm, 2)
     if st != 200 or content_type_of(cfg, url_norm) != "text/html":
         return []
     links = outlinks_of(cfg, url_norm)
@@ -634,9 +650,9 @@ def latency_class_of(cfg: SynthConfig, url_norm: str) -> int:
     return _h(cfg.seed, "lat", url_norm) % 4
 
 
-def fetch_one(cfg: SynthConfig, url_norm: str) -> dict:
+def fetch_one(cfg: SynthConfig, url_norm: str, strategy_level: int = 0) -> dict:
     """The full deterministic fetch result for one canonical URL."""
-    st = status_of(cfg, url_norm)
+    st = status_of(cfg, url_norm, strategy_level)
     ct = content_type_of(cfg, url_norm)
     html = st == 200 and ct == "text/html"
     return {
