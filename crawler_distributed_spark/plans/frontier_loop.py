@@ -49,7 +49,7 @@ def _timed(label: str):
     yield
     print(f"      [{label}] {time.time() - t0:.2f}s", flush=True)
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import synth
@@ -311,14 +311,22 @@ def run_crawl(
 
     bloom = None
     if policy.use_bloom:
-        seen_all = store.read_appendonly(spark, last, "admitted")
+        seen_all = store.read_seen(spark, last)
         bloom = build_bloom_delta(
             seen_all.select("url_norm"), n_buckets=policy.bloom_buckets
         ).localCheckpoint()
 
+    def _maybe_ck(df: DataFrame, b: int) -> DataFrame:
+        """Tiny-state checkpoint cadence: identical values, fewer jobs —
+        lazy join chains of depth <= state_checkpoint_every in between."""
+        return df.localCheckpoint() if b % policy.state_checkpoint_every == 0 else df
+
     batch = last + 1
     last_committed = last
     batch_seconds: list = []
+    # eligibility for the NEXT batch rides the frontier checkpoint as an
+    # Observation (no dedicated count job); None -> bootstrap/jump recount
+    pending: tuple | None = None
     while batch < policy.max_batches:
         _bt0 = time.time()
         budgets = budget_state.where(
@@ -327,19 +335,23 @@ def run_crawl(
         ).select("crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining"))
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
-        with _timed("counts"):
-            counts = avail.agg(
-            F.sum((F.col("not_before_batch") <= batch).cast("long")).alias("elig"),
-                F.min(
-                    F.when(F.col("not_before_batch") > batch, F.col("not_before_batch"))
-                ).alias("next_nb"),
+        if pending is None:
+            with _timed("counts"):
+                counts = avail.agg(
+                    F.sum((F.col("not_before_batch") <= batch).cast("long")).alias("elig"),
+                    F.min(
+                        F.when(F.col("not_before_batch") > batch, F.col("not_before_batch"))
+                    ).alias("next_nb"),
                 ).collect()[0]
-        n_elig = counts["elig"] or 0
+            n_elig, next_nb = counts["elig"] or 0, counts["next_nb"]
+        else:
+            n_elig, next_nb = pending
         if n_elig == 0:
-            if counts["next_nb"] is not None:
+            if next_nb is not None:
                 # jump the idle backoff gap in one step; nothing observable
                 # happens in between, so batch numbering stays oracle-equal
-                batch = int(counts["next_nb"])
+                batch = int(next_nb)
+                pending = None  # recount at the jump target
                 continue
             break
 
@@ -405,8 +417,8 @@ def run_crawl(
                     .alias("failed"),
                     "max_pages",
                 )
-                .localCheckpoint()
             )
+            budget_state = _maybe_ck(budget_state, batch)
         # P6: hosts whose every fetch this batch failed escalate one level
         host_fail = fetched.groupBy("crawl_id", "host").agg(
             (F.max(F.when(F.col("status") < 400, 1).otherwise(0)) == 0).alias("_allfail")
@@ -423,8 +435,8 @@ def run_crawl(
                 .cast("int")
                 .alias("fail_batches"),
             )
-            .localCheckpoint()
         )
+        strat_state = _maybe_ck(strat_state, batch)
 
         # --- retries (Q7/P8: per-status multiplier + per-status retry cap,
         # backoff in batches, bury past the cap — retry_middleware.py:33-55)
@@ -545,11 +557,10 @@ def run_crawl(
             )
         )
 
-        # the seen set: lazy union of previously-written admitted deltas —
-        # probed by the anti-join, never materialized as a separate copy
-        seen = store.read_appendonly(spark, batch - 1, "admitted").select(
-            "crawl_id", "url_norm"
-        )
+        # the seen set: newest compacted copy + the few deltas since it
+        # (storage.read_seen) — probed by the anti-join; the periodic
+        # compaction keeps this read O(compact_every) files, not O(#batches)
+        seen = store.read_seen(spark, batch - 1)
 
         # materialization #2: the admission pipeline, straight into parquet
         admitted = admit(candidates, seen, robots_agg, bloom=bloom)
@@ -557,22 +568,70 @@ def run_crawl(
             store.write_table(_admitted_wide(admitted, batch), batch, "admitted")
         admitted_r = store.read_table(spark, batch, "admitted")
 
-        with _timed("with_sequence count"):
-            queued_new, n_admitted = with_sequence(
-                admitted_r.where("robots_ok"),
-                ["parent_seq", "link_idx"],
-                start=next_seq,
+        robots_ok_rows = admitted_r.where("robots_ok")
+        if n_elig <= policy.seq_singlepart_threshold:
+            # small batch: one global window stamps consecutive seqs (a
+            # single sort of bounded size, embedded in the frontier job —
+            # no range-sample / materialize / count jobs); the admitted
+            # count is recovered from the frontier Observation below
+            # (rows with seq >= next_seq are exactly this batch's)
+            from pyspark.sql import Window as _WS
+
+            queued_new = robots_ok_rows.withColumn(
+                "discovery_seq",
+                (
+                    F.row_number().over(_WS.orderBy("parent_seq", "link_idx"))
+                    + F.lit(next_seq - 1)
+                ).cast("long"),
             )
+            n_admitted = None
+        else:
+            with _timed("with_sequence count"):
+                queued_new, n_admitted = with_sequence(
+                    robots_ok_rows, ["parent_seq", "link_idx"], start=next_seq
+                )
 
         # materialization #3: next frontier state (kept hot for the next
-        # iteration; parquet-persisted on durable batches)
+        # iteration; parquet-persisted on durable batches). The rebuild
+        # also PURGES finished crawls' rows (pages/failed budgets never
+        # un-finish, so those rows can never be scheduled again) and
+        # carries the NEXT batch's eligibility aggregates as an
+        # Observation — the per-batch count job folds into this one.
+        next_active = budget_state.where(
+            (F.col("pages") < F.col("max_pages"))
+            & (F.col("failed") < F.lit(policy.max_failed_pages))
+        ).select("crawl_id")
+        elig_obs = Observation(f"elig-{batch}")
         with _timed("frontier checkpoint"):
             frontier = (
                 frontier.join(scheduled.select("discovery_seq"), "discovery_seq", "left_anti")
                 .select(*_FRONTIER_COLS)
                 .unionByName(retries)
                 .unionByName(_finish_frontier_rows(queued_new))
+                .join(F.broadcast(next_active), "crawl_id", "left_semi")
+                .observe(
+                    elig_obs,
+                    F.sum(
+                        (F.col("not_before_batch") <= batch + 1).cast("long")
+                    ).alias("elig"),
+                    F.min(
+                        F.when(
+                            F.col("not_before_batch") > batch + 1,
+                            F.col("not_before_batch"),
+                        )
+                    ).alias("next_nb"),
+                    # this batch's admissions: old rows and retries all carry
+                    # seq < next_seq; the purge cannot drop new rows because
+                    # admission already ran behind the identical active set
+                    F.sum(
+                        (F.col("discovery_seq") >= F.lit(next_seq)).cast("long")
+                    ).alias("n_new"),
+                )
             ).localCheckpoint()
+        em = elig_obs.get
+        pending = (int(em["elig"] or 0), em["next_nb"])
+        if n_admitted is None:
+            n_admitted = int(em["n_new"] or 0)
         next_seq += n_admitted
 
         # --- per-partition lineage (north rule)
@@ -614,15 +673,15 @@ def run_crawl(
                     .otherwise(F.col("ewma"))
                     .alias("ewma"),
                 )
-                .localCheckpoint()
             )
+            host_lat = _maybe_ck(host_lat, batch)
 
         if policy.use_bloom:
             with _timed("bloom merge"):
                 delta = build_bloom_delta(
                     admitted_r.select("url_norm"), n_buckets=policy.bloom_buckets
                 )
-                bloom = merge_blooms(bloom, delta).localCheckpoint()
+                bloom = _maybe_ck(merge_blooms(bloom, delta), batch)
 
         durable = (
             policy.checkpoint_every <= 1
@@ -637,6 +696,12 @@ def run_crawl(
                 store.write_table(host_lat, batch, "hostlat")
             store.commit(batch, {"next_seq": next_seq})
             last_committed = batch
+            if policy.compact_seen_every and batch % policy.compact_seen_every == 0:
+                with _timed("seen compaction"):
+                    store.compact_seen(
+                        spark, batch,
+                        n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    )
 
         batch_seconds.append(round(time.time() - _bt0, 2))
         if stop_after_batch is not None and batch >= stop_after_batch:

@@ -69,6 +69,19 @@ class CrawlPolicy:
     use_bloom: bool = True       # partitioned bloom pre-filter ahead of the
                                  # seen anti-join (bloom misses bypass the join)
     bloom_buckets: int = 64      # bloom bitmap partitioning width
+    compact_seen_every: int = 16  # rewrite the admitted-delta union into one
+                                  # hash-spread seen table every N committed
+                                  # batches; keeps the per-batch anti-join read
+                                  # O(N/compact) files instead of O(#batches)
+    state_checkpoint_every: int = 4  # localCheckpoint cadence for the tiny
+                                     # budget/strategy/bloom state frames (lazy
+                                     # join chains in between — values identical,
+                                     # just fewer driver jobs per batch)
+    seq_singlepart_threshold: int = 20_000  # scheduled rows below which
+                                            # discovery_seq stamping uses one
+                                            # global window (no range-sample /
+                                            # counting jobs); above it, the
+                                            # shuffle-scalable two-phase path
     max_failed_pages: int = 20   # Q6: abort admission for a crawl once its
                                  # cumulative failed fetch attempts
                                  # (status>=400) reach this (MAX_FAILED_PAGES,

@@ -80,6 +80,85 @@ class BatchStore:
             k = int(name.split("=", 1)[1])
             if last is None or k > last:
                 shutil.rmtree(os.path.join(self.batches_dir, name), ignore_errors=True)
+        # a compacted seen copy that includes rolled-back batches is garbage
+        if os.path.isdir(self.compacted_dir()):
+            for name in list(os.listdir(self.compacted_dir())):
+                if not name.startswith("upto="):
+                    shutil.rmtree(os.path.join(self.compacted_dir(), name), ignore_errors=True)
+                    continue
+                k = int(name.split("=", 1)[1])
+                if last is None or k > last:
+                    shutil.rmtree(os.path.join(self.compacted_dir(), name), ignore_errors=True)
+
+    # --- seen-set compaction -------------------------------------------------
+    # The admission anti-join probes the union of per-batch `admitted`
+    # deltas; without compaction that read is O(#batches) directories per
+    # batch (O(N²) I/O over a run). Every compact_every batches the union
+    # is rewritten once, hash-spread on xxhash64(url_norm), into
+    # <root>/compacted/upto=<k>/ (atomic dir rename = commit), and
+    # read_seen() then unions [compacted] + the few deltas since k.
+    # Deltas stay on disk (they also serve trace/lineage reads); at real
+    # scale this whole block is the Iceberg MERGE swap point.
+
+    def compacted_dir(self) -> str:
+        return os.path.join(self.root, "compacted")
+
+    def _compacted_upto(self, limit: int) -> int | None:
+        best = None
+        if not os.path.isdir(self.compacted_dir()):
+            return None
+        for name in os.listdir(self.compacted_dir()):
+            if not name.startswith("upto="):
+                continue
+            k = int(name.split("=", 1)[1])
+            if k <= limit:
+                best = k if best is None else max(best, k)
+        return best
+
+    def compact_seen(self, spark: SparkSession, upto_batch: int, n_buckets: int = 32) -> None:
+        """Rewrite the seen set (crawl_id, url_norm) up to ``upto_batch``
+        into one hash-spread compacted copy. Idempotent; crash-safe via
+        tmp-dir + atomic rename."""
+        import shutil as _sh
+
+        from pyspark.sql import functions as _F
+
+        df = self.read_seen(spark, upto_batch)
+        if df is None:
+            return
+        final = os.path.join(self.compacted_dir(), f"upto={upto_batch}")
+        if os.path.isdir(final):
+            return
+        tmp = os.path.join(self.compacted_dir(), f".tmp-{upto_batch}")
+        _sh.rmtree(tmp, ignore_errors=True)
+        (
+            df.select("crawl_id", "url_norm")
+            .repartition(n_buckets, _F.xxhash64("url_norm"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.replace(tmp, final)
+        # drop superseded compacted copies (their deltas still exist)
+        for name in list(os.listdir(self.compacted_dir())):
+            if name.startswith("upto=") and int(name.split("=", 1)[1]) < upto_batch:
+                _sh.rmtree(os.path.join(self.compacted_dir(), name), ignore_errors=True)
+
+    def read_seen(self, spark: SparkSession, upto_batch: int) -> DataFrame | None:
+        """The (crawl_id, url_norm) seen set as of ``upto_batch``: the
+        newest compacted copy plus only the deltas after it."""
+        base = self._compacted_upto(upto_batch)
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self.compacted_dir(), f"upto={base}"))
+        start = -1 if base is None else base + 1
+        paths += [
+            self.table_path(k, "admitted")
+            for k in range(start, upto_batch + 1)
+            if os.path.isdir(self.table_path(k, "admitted"))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select("crawl_id", "url_norm")
 
     # --- reads
     def read_table(self, spark: SparkSession, batch_id: int, table: str) -> DataFrame:

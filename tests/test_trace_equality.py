@@ -91,6 +91,30 @@ def test_lineage_recorded(spark, engine_result):
     assert all(r.rows_fetched >= 0 for r in rows)
 
 
+def test_compaction_and_resume_across_it(spark, tmp_path, oracle_result):
+    """Aggressive seen-set compaction (every 2 batches) + a kill/resume
+    straddling a compaction point must still produce the exact oracle
+    trace and seen set — compaction is a pure read-layout change."""
+    import os
+
+    policy = CrawlPolicy(compact_seen_every=2, state_checkpoint_every=2)
+    d = str(tmp_path / "ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    run_crawl(spark, CFG, SEEDS, robots, d, policy, stop_after_batch=3)
+    res = run_crawl(spark, CFG, SEEDS, robots, d, policy, resume=True)
+    # a compacted copy exists and is actually the one being read
+    comp = res.store.compacted_dir()
+    assert os.path.isdir(comp) and any(
+        n.startswith("upto=") for n in os.listdir(comp)
+    )
+    etrace = _engine_trace(spark, res)
+    assert etrace == sorted(oracle_result.trace, key=lambda t: (t[1], t[0], t[2]))
+    seen = {}
+    for r in res.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle_result.seen
+
+
 def test_resume_from_checkpoint(spark, tmp_path, oracle_result):
     """Kill after batch 1, resume, and require bit-identical final state
     (north rule: 'a killed job resumes exactly')."""
