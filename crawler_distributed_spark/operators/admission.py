@@ -91,6 +91,13 @@ def filter_candidates(candidates: DataFrame) -> DataFrame:
 
 
 def canonicalize_candidates(filtered: DataFrame) -> DataFrame:
+    """C1 over the filter survivors. Explicitly hash-respread first: the
+    canonicalize UDF is CPU-bound Python, and AQE coalesces the upstream
+    explode/filter output by BYTES (a few MB of URL strings → 1-2
+    partitions), which would serialize the Arrow stage — the same
+    countermeasure the fetch stage takes (operators/fetch.py:56)."""
+    n_part = int(filtered.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    filtered = filtered.repartition(n_part, "crawl_id", "raw_url")
     return filtered.withColumn("url_norm", canonicalize_udf("raw_url")).withColumn(
         "host", host_col(F.col("url_norm"))
     )

@@ -28,6 +28,9 @@ from .. import synth
 _RAW_FIELDS = [
     T.StructField("status", T.IntegerType(), False),
     T.StructField("content_type", T.StringType(), False),
+    # F6/F7 routing: 'control' = robots/sitemap fetch (never a page),
+    # 'content' = everything else (page iff status 200 + accepted type)
+    T.StructField("doc_class", T.StringType(), False),
     T.StructField("doc_id", T.StringType(), True),
     T.StructField("outlinks", T.ArrayType(T.StringType()), False),
     T.StructField("span_kind", T.ArrayType(T.StringType()), False),
@@ -90,6 +93,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             n = len(pdf)
             statuses = [0] * n
             ctypes = [""] * n
+            doc_class = ["content"] * n
             doc_ids: list = [None] * n
             outlinks: list = [None] * n
             kinds: list = [None] * n
@@ -109,6 +113,11 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 ct = synth.content_type_of(cfg, u)
                 statuses[i] = st
                 ctypes[i] = ct
+                if (
+                    synth.is_sitemap_url(cfg, u) is not None
+                    or synth.is_robots_url(cfg, u) is not None
+                ):
+                    doc_class[i] = "control"
                 lat[i] = synth.latency_class_of(cfg, u)
                 hdrs = synth.response_headers_of(cfg, u)
                 hdr_keys[i] = [h[0] for h in hdrs]
@@ -126,7 +135,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 discovered[i] = []
                 if st == 200 and ct == "text/html":
                     doc_ids[i] = synth.doc_id_of(u)
-                    spans = synth.spans_of(cfg, u)
+                    spans = synth.spans_of(cfg, u, links)
                     kinds[i] = [s[0] for s in spans]
                     texts[i] = [s[1] for s in spans]
                     refs[i] = [s[2] for s in spans]
@@ -168,6 +177,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
             pdf = pdf.copy()
             pdf["status"] = pd.array(statuses, dtype="int32")
             pdf["content_type"] = ctypes
+            pdf["doc_class"] = doc_class
             pdf["doc_id"] = doc_ids
             pdf["outlinks"] = outlinks
             pdf["span_kind"] = kinds
@@ -202,6 +212,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
         *[c for c in scheduled.columns],
         "status",
         "content_type",
+        "doc_class",
         "doc_id",
         "outlinks",
         spans,

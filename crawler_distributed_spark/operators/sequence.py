@@ -58,15 +58,15 @@ def with_sequence(
     Returns (stamped_df, total_rows) — the count falls out of the counting
     pass for free, so callers never re-count.
 
-    The range-sorted frame is localCheckpoint-ed (not cache()d): the
-    counting and stamping passes then read the SAME materialized
-    partitions — no cache-eviction recompute can ever re-plan to a
-    different partitioning and miss the offsets lookup — and the blocks
-    are freed by the ContextCleaner as soon as the stamped plan is
-    dropped, instead of accumulating in the CacheManager across
-    thousands of batches.
+    The range-sorted frame is lazily localCheckpoint-ed (not cache()d):
+    the counting pass's job materializes it, the stamping pass reads the
+    SAME materialized partitions — no cache-eviction recompute can ever
+    re-plan to a different partitioning and miss the offsets lookup —
+    and the blocks are freed by the ContextCleaner as soon as the
+    stamped plan is dropped, instead of accumulating in the CacheManager
+    across thousands of batches.
     """
-    sorted_df = df.orderBy(*order_cols).localCheckpoint()
+    sorted_df = df.orderBy(*order_cols).localCheckpoint(eager=False)
 
     def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         key, n = None, 0

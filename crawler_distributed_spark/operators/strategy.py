@@ -59,6 +59,55 @@ def fetch_strategy_dim(metrics: DataFrame) -> DataFrame:
     return per_host.select("host", strategy.alias("fetch_strategy"))
 
 
+# P5: ban window, in batches — the analog of PROXY_BLACKLIST_TIME=1800 s
+# (crawler/spider_project/settings.py:69) at ~60 s per batch
+PROXY_BLACKLIST_BATCHES = 30
+
+
+def proxy_stats(events: DataFrame) -> DataFrame:
+    """P5: per-proxy success/failure/banned tallies from proxied fetch
+    events (proxy_id, status, batch_id) — proxy_manager.py:42-97 semantics:
+    200 = success, 403/429 = banned (proxy burned for that site,
+    proxy_middleware.py:74-78), other non-200 = failure. The newest ban
+    opens a timed blacklist window (PROXY_BLACKLIST_TIME)."""
+    is_success = F.col("status") == 200
+    is_ban = F.col("status").isin(403, 429)
+    return (
+        events.groupBy("proxy_id")
+        .agg(
+            F.sum(is_success.cast("long")).alias("success"),
+            F.sum((~is_success & ~is_ban).cast("long")).alias("failure"),
+            F.sum(is_ban.cast("long")).alias("banned"),
+            F.max(F.when(is_ban, F.col("batch_id"))).alias("last_ban_batch"),
+        )
+        .withColumn(
+            "banned_until_batch",
+            F.when(
+                F.col("last_ban_batch").isNotNull(),
+                F.col("last_ban_batch") + F.lit(PROXY_BLACKLIST_BATCHES),
+            ),
+        )
+        .drop("last_ban_batch")
+    )
+
+
+def choose_proxy(stats: DataFrame, batch_id: int) -> DataFrame:
+    """P5: the get_proxy() analog (proxy_manager.py:63-76): highest
+    (success+1)/(failure+banned+1) among proxies whose ban window has
+    expired (timed unban), deterministic tiebreak on proxy_id."""
+    score = (F.col("success") + 1) / (F.col("failure") + F.col("banned") + 1)
+    avail = stats.where(
+        F.col("banned_until_batch").isNull()
+        | (F.col("banned_until_batch") <= F.lit(batch_id))
+    )
+    return (
+        avail.withColumn("score", F.round(score, 6))
+        .orderBy(F.desc("score"), F.asc("proxy_id"))
+        .limit(1)
+        .select("proxy_id", "score")
+    )
+
+
 def needs_js_col(spans: Column) -> Column:
     """P7 per-doc classifier over spans: script-count / script-ratio
     heuristics (js_rendering_middleware.py:470-543 re-expressed)."""

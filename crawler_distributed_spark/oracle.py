@@ -24,7 +24,7 @@ from .functions.urls import (
     is_valid_url,
 )
 from .policy import (
-    PARSEABLE_CONTENT_TYPES,
+    ACCEPTED_CONTENT_TYPES,
     RETRYABLE_STATUSES,
     CrawlPolicy,
     order_key,
@@ -189,13 +189,7 @@ def run_oracle(
             ct = synth.content_type_of(cfg, e.url_norm)
             sm_host = synth.is_sitemap_url(cfg, e.url_norm)
             rb_host = synth.is_robots_url(cfg, e.url_norm)
-            if st == 200 and ct in PARSEABLE_CONTENT_TYPES:
-                pages[e.crawl_id] += 1
-                for idx, raw in enumerate(synth.outlinks_of(cfg, e.url_norm)):
-                    admissions.append(
-                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0, False)
-                    )
-            elif st == 200 and sm_host is not None:
+            if st == 200 and sm_host is not None:
                 # sitemap: aggregate entries (index hosts recurse through
                 # Q4-filtered children with the max_pages early break —
                 # synth.aggregated_sitemap_entries), score with the frozen
@@ -232,6 +226,14 @@ def run_oracle(
                 admissions.append(
                     (e.discovery_seq, 0, e.crawl_id, located, e.depth + 1, 0.0, True)
                 )
+            elif st == 200 and ct in ACCEPTED_CONTENT_TYPES:
+                # F6: accepted response = a page (budget); only html pages
+                # carry outlinks/spans in the synthetic web
+                pages[e.crawl_id] += 1
+                for idx, raw in enumerate(synth.outlinks_of(cfg, e.url_norm)):
+                    admissions.append(
+                        (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0, False)
+                    )
             elif st == 301:
                 redirs = synth.outlinks_of(cfg, e.url_norm)
                 if redirs:

@@ -59,7 +59,11 @@ from ..operators.fetch import fetch_scheduled
 from ..operators.politeness import select_fetch_batch
 from ..functions.sitemaps import sitemap_score_col
 from ..operators.sequence import with_sequence
-from ..policy import PARSEABLE_CONTENT_TYPES, RETRYABLE_STATUSES, CrawlPolicy
+from ..policy import (
+    ACCEPTED_CONTENT_TYPES,
+    RETRYABLE_STATUSES,
+    CrawlPolicy,
+)
 from ..storage import BatchStore
 
 _FRONTIER_COLS = [
@@ -69,11 +73,20 @@ _FRONTIER_COLS = [
 ]
 
 _RETRYABLE_LIST = sorted(RETRYABLE_STATUSES)
-_PARSEABLE_LIST = sorted(PARSEABLE_CONTENT_TYPES)
+_ACCEPTED_LIST = sorted(ACCEPTED_CONTENT_TYPES)
 
 
 def _is_page():
-    return (F.col("status") == 200) & F.col("content_type").isin(_PARSEABLE_LIST)
+    """F6+F7: a page is a 200 response of an accepted content type
+    (content_filter_middleware.py:43-51 allowlist) that is NOT a
+    robots/sitemap control fetch. Non-html accepted types (xml/plain)
+    count toward the budget and are stored, but carry no spans/outlinks
+    in the synthetic web."""
+    return (
+        (F.col("status") == 200)
+        & F.col("content_type").isin(_ACCEPTED_LIST)
+        & (F.col("doc_class") == "content")
+    )
 
 
 @dataclass
@@ -317,9 +330,11 @@ def run_crawl(
         ).localCheckpoint()
 
     def _maybe_ck(df: DataFrame, b: int) -> DataFrame:
-        """Tiny-state checkpoint cadence: identical values, fewer jobs —
-        lazy join chains of depth <= state_checkpoint_every in between."""
-        return df.localCheckpoint() if b % policy.state_checkpoint_every == 0 else df
+        """LAZY localCheckpoint for the small state frames: the first
+        consumer's job materializes it (no dedicated driver job), every
+        later consumer in the batch reads the cached blocks, and lineage
+        is truncated so chains never deepen across batches."""
+        return df.localCheckpoint(eager=False)
 
     batch = last + 1
     last_committed = last

@@ -37,11 +37,16 @@ RETRY_POLICY: dict[int, tuple[float, int]] = {
 
 RETRYABLE_STATUSES = frozenset(RETRY_POLICY)
 FATAL_STATUSES = frozenset({404})
-HTML_CONTENT_TYPES = frozenset(
+# F6 response allowlist (content_filter_middleware.py:43-51): responses of
+# these types are ACCEPTED as pages (stored + counted in the budget);
+# anything else (image/png, ...) is dropped after fetch. robots/sitemap
+# control fetches are classed separately and never count as pages (F7).
+ACCEPTED_CONTENT_TYPES = frozenset(
     {"text/html", "application/xhtml+xml", "application/xml", "text/plain"}
 )
-# content types the parse stage accepts (F6, content_filter_middleware.py:43-51);
-# of these only text/html produces spans+outlinks in the synthetic web
+HTML_CONTENT_TYPES = ACCEPTED_CONTENT_TYPES  # back-compat alias
+# of the accepted types only text/html carries spans+outlinks in the
+# synthetic web (the parse stage is a no-op on the others)
 PARSEABLE_CONTENT_TYPES = frozenset({"text/html"})
 
 
@@ -73,10 +78,6 @@ class CrawlPolicy:
                                   # hash-spread seen table every N committed
                                   # batches; keeps the per-batch anti-join read
                                   # O(N/compact) files instead of O(#batches)
-    state_checkpoint_every: int = 4  # localCheckpoint cadence for the tiny
-                                     # budget/strategy/bloom state frames (lazy
-                                     # join chains in between — values identical,
-                                     # just fewer driver jobs per batch)
     seq_singlepart_threshold: int = 20_000  # scheduled rows below which
                                             # discovery_seq stamping uses one
                                             # global window (no range-sample /

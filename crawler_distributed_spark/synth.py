@@ -436,7 +436,9 @@ _CMS_NAMES = ("WordPress 6.4", "Drupal 10", "Joomla 5", "Wix.com", "Squarespace"
 _WP_THEMES = ("astra", "divi", "oceanwp", "generatepress")
 
 
-def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
+def spans_of(
+    cfg: SynthConfig, url_norm: str, links: list[str] | None = None
+) -> list[tuple]:
     """Interleaved span array for a fetched html page: list of
     (kind, text, media_ref, offset), offset strictly increasing.
     Deterministic per URL; this is the engine's parse ground truth.
@@ -448,7 +450,8 @@ def spans_of(cfg: SynthConfig, url_norm: str) -> list[tuple]:
     st = status_of(cfg, url_norm, 2)
     if st != 200 or content_type_of(cfg, url_norm) != "text/html":
         return []
-    links = outlinks_of(cfg, url_norm)
+    if links is None:  # caller may pass pre-computed outlinks (hot path)
+        links = outlinks_of(cfg, url_norm)
     host = url_norm.split("/")[2]
     n_spans = 4 + _h(cfg.seed, "nspan", url_norm) % 8
     spans: list[tuple] = []

@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # note: explain("formatted") under AQE doesn't label WholeStageCodegen
 # spans; structural markers below assert the plan shapes that matter
 # (pruned scans, map-side partial aggs, broadcast joins)
+# a leading "!" asserts the marker is ABSENT from the plan
 AUDITS = {
     "pricing_summary": ["PushedFilters", "ReadSchema"],
     "top_hosts": ["BroadcastHashJoin"],
@@ -28,6 +29,11 @@ AUDITS = {
     "seen_antijoin": ["PushedFilters"],
     "dedup_exact": ["HashAggregate"],
     "ann_cosine_topk": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+    # the intersection count must be computed by joining the candidate
+    # PAIRS to the shingle table (VERDICT r1 #9): the old shape — full
+    # shingle self-join aggregated first, THEN a LeftSemi restriction —
+    # must not reappear
+    "ngram_jaccard": ["HashAggregate", "!LeftSemi"],
 }
 
 
@@ -48,8 +54,12 @@ def main() -> int:
         print(f"\n===== {name} =====")
         print(plan[:4000])
         for marker in AUDITS.get(name, []):
-            ok = marker in plan
-            print(f"  audit {marker}: {'OK' if ok else 'MISSING'}")
+            if marker.startswith("!"):
+                ok = marker[1:] not in plan
+                print(f"  audit absent:{marker[1:]}: {'OK' if ok else 'PRESENT (fail)'}")
+            else:
+                ok = marker in plan
+                print(f"  audit {marker}: {'OK' if ok else 'MISSING'}")
             failures += 0 if ok else 1
     print("\naudit failures:", failures)
     return 1 if failures else 0

@@ -83,3 +83,34 @@ def test_extract_urls_col(spark):
     )
     got = df.select(extract_urls_col(F.col("t")).alias("u")).collect()[0].u
     assert got == ["https://x.com/a", "https://y.org/b?q=1"]
+
+
+def test_proxy_stats_and_timed_unban(spark):
+    """P5: per-proxy tallies, best-score selection (proxy_manager.py:63-76)
+    and the 30-min timed ban window (settings.py:69 PROXY_BLACKLIST_TIME)
+    re-expressed in batches."""
+    rows = [
+        # p0: reliable
+        ("p0", 200, 1), ("p0", 200, 2), ("p0", 200, 3),
+        # p1: banned at batch 5 (403), otherwise fine
+        ("p1", 200, 1), ("p1", 403, 5),
+        # p2: flaky
+        ("p2", 500, 1), ("p2", 200, 2),
+    ]
+    events = spark.createDataFrame(rows, "proxy_id string, status int, batch_id long")
+    stats = {r.proxy_id: r for r in ST.proxy_stats(events).collect()}
+    assert stats["p0"].success == 3 and stats["p0"].banned == 0
+    assert stats["p1"].banned == 1
+    assert stats["p1"].banned_until_batch == 5 + ST.PROXY_BLACKLIST_BATCHES
+    assert stats["p2"].failure == 1
+
+    st_df = ST.proxy_stats(events)
+    # while p1 is banned, p0 wins (best success rate among available)
+    assert ST.choose_proxy(st_df, batch_id=10).collect()[0].proxy_id == "p0"
+    # p0 always beats p1 on score; ban expiry only re-admits p1 to the pool
+    after = 5 + ST.PROXY_BLACKLIST_BATCHES
+    avail = {r.proxy_id for r in ST.proxy_stats(events).where(
+        F.col("banned_until_batch").isNull() | (F.col("banned_until_batch") <= after)
+    ).collect()}
+    assert "p1" in avail
+    assert ST.choose_proxy(st_df, batch_id=after).collect()[0].proxy_id == "p0"

@@ -79,7 +79,11 @@ def test_span_sequence_equality(spark, engine_result):
         offsets = [s.offset for s in r.spans]
         assert offsets == sorted(offsets)
         assert len(set(offsets)) == len(offsets)
-        assert r.doc_id == synth.doc_id_of(r.url_norm)
+        if synth.content_type_of(CFG, r.url_norm) == "text/html":
+            assert r.doc_id == synth.doc_id_of(r.url_norm)
+        else:
+            # F6: xml/plain accepted pages are stored without spans/doc_id
+            assert r.doc_id is None and not r.spans
 
 
 def test_lineage_recorded(spark, engine_result):
@@ -91,13 +95,28 @@ def test_lineage_recorded(spark, engine_result):
     assert all(r.rows_fetched >= 0 for r in rows)
 
 
+def test_f6_nonhtml_accepted_pages_counted(oracle_result):
+    """F6 (content_filter_middleware.py:43-51): xml/text-plain 200s are
+    accepted pages — the corpus contains at least one, and it consumed
+    budget (pins the widened allowlist against regression)."""
+    nonhtml = [
+        u
+        for (_, _, _, u, _, _) in oracle_result.trace
+        if synth.status_of(CFG, u, 2) == 200
+        and synth.content_type_of(CFG, u) in ("application/xml", "text/plain")
+        and synth.is_sitemap_url(CFG, u) is None
+        and synth.is_robots_url(CFG, u) is None
+    ]
+    assert nonhtml, "corpus should fetch at least one non-html accepted page"
+
+
 def test_compaction_and_resume_across_it(spark, tmp_path, oracle_result):
     """Aggressive seen-set compaction (every 2 batches) + a kill/resume
     straddling a compaction point must still produce the exact oracle
     trace and seen set — compaction is a pure read-layout change."""
     import os
 
-    policy = CrawlPolicy(compact_seen_every=2, state_checkpoint_every=2)
+    policy = CrawlPolicy(compact_seen_every=2)
     d = str(tmp_path / "ck")
     robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
     run_crawl(spark, CFG, SEEDS, robots, d, policy, stop_after_batch=3)
