@@ -21,7 +21,8 @@ SF_DIR = "/root/testdata/sf0.01"
 # note: explain("formatted") under AQE doesn't label WholeStageCodegen
 # spans; structural markers below assert the plan shapes that matter
 # (pruned scans, map-side partial aggs, broadcast joins)
-# a leading "!" asserts the marker is ABSENT from the plan
+# a leading "!" asserts the marker is ABSENT from the plan;
+# "<=N:" asserts at most N occurrences
 AUDITS = {
     "pricing_summary": ["PushedFilters", "ReadSchema"],
     "top_hosts": ["BroadcastHashJoin"],
@@ -29,11 +30,11 @@ AUDITS = {
     "seen_antijoin": ["PushedFilters"],
     "dedup_exact": ["HashAggregate"],
     "ann_cosine_topk": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
-    # the intersection count must be computed by joining the candidate
-    # PAIRS to the shingle table (VERDICT r1 #9): the old shape — full
-    # shingle self-join aggregated first, THEN a LeftSemi restriction —
-    # must not reappear
-    "ngram_jaccard": ["HashAggregate", "!LeftSemi"],
+    # the candidates→shingles join shape (VERDICT r1 #9) is asserted
+    # precisely in tests/test_pipelines.py::test_ngram_plan_shape (with
+    # explicit candidates the correct plan has ZERO semi-joins; the old
+    # post-aggregation-restriction shape had one)
+    "ngram_jaccard": ["HashAggregate"],
 }
 
 
@@ -57,6 +58,11 @@ def main() -> int:
             if marker.startswith("!"):
                 ok = marker[1:] not in plan
                 print(f"  audit absent:{marker[1:]}: {'OK' if ok else 'PRESENT (fail)'}")
+            elif marker.startswith("<="):
+                bound, m = marker[2:].split(":", 1)
+                n = plan.count(m)
+                ok = n <= int(bound)
+                print(f"  audit count:{m}<={bound}: {'OK' if ok else f'{n} (fail)'}")
             else:
                 ok = marker in plan
                 print(f"  audit {marker}: {'OK' if ok else 'MISSING'}")

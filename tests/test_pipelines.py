@@ -155,3 +155,19 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert rows
     assert all(r.sample_ms % 1000 == 0 for r in rows)
+
+
+def test_ngram_plan_shape(spark, docs):
+    """VERDICT r1 #9: the exact-Jaccard intersection must be computed by
+    joining the candidate PAIRS to the shingle table. With explicit
+    candidates the correct plan contains no semi-join at all; the old
+    shape (full shingle self-join aggregated first, THEN a left-semi
+    restriction to candidates) had one — and was quadratic in hot-shingle
+    frequency."""
+    cand = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
+    df = dedup.ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan
+    # and it still computes the right numbers
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+    assert got[(0, 1)] == 1.0  # exact dup pair
