@@ -47,8 +47,10 @@ SPANS = "spans"
 # (headings_worker.py:306-377 builds >3-char stopworded token sets)
 _STOPWORDS = ["the", "and", "for", "with", "from", "this", "that", "page"]
 
-# W15 third-party signature table (third_party_services_worker.py:44-802
-# keeps ~24 signature sets; this is the ref-domain slice visible in spans)
+# W15 third-party signature table — the script-src-visible twin of
+# third_party_services_worker.py:44-89's ~24 service signature sets
+# (inline-JS signatures like 'gtag('/'fbq(' are represented by the CDN
+# host that serves them; the span grammar carries src URLs only)
 THIRD_PARTY_SIGNATURES = {
     "google_tag_manager": "googletagmanager.com",
     "google_analytics": "google-analytics.com",
@@ -61,16 +63,69 @@ THIRD_PARTY_SIGNATURES = {
     "tiktok_pixel": "analytics.tiktok.com",
     "jsdelivr": "cdn.jsdelivr.net",
     "cdnjs": "cdnjs.cloudflare.com",
+    "crazyegg": "crazyegg.com",
+    "callrail": "callrail.com",
+    "optimizely": "optimizely.com",
+    "zendesk": "zdassets.com",
+    "drift": "driftt.com",
+    "new_relic": "newrelic.com",
+    "vwo": "visualwebsiteoptimizer.com",
+    "fullstory": "fullstory.com",
+    "amplitude": "amplitude.com",
+    "mouseflow": "mouseflow.com",
+    "hubspot": "hs-scripts.com",
+    "lucky_orange": "luckyorange.com",
+    "sumo": "sumo.com",
+    "adobe_analytics": "adobedtm.com",
 }
 
-# W9 framework signatures (javascript_worker.py:46-497 detects ~15 libs)
+# W9 framework signatures — javascript_worker.py:224-251's 15 library
+# indicators (same `key in src.lower()` contains-semantics and display
+# names as the reference)
 FRAMEWORK_SIGNATURES = {
-    "react": "react",
-    "vue": "vue",
-    "angular": "angular",
-    "jquery": "jquery",
+    "jQuery": "jquery",
+    "React": "react",
+    "Angular": "angular",
+    "Vue.js": "vue",
+    "Ember.js": "ember",
+    "Backbone.js": "backbone",
+    "Knockout.js": "knockout",
+    "Prototype.js": "prototype",
+    "MooTools": "mootools",
+    "Dojo": "dojo",
+    "GSAP": "gsap",
+    "Three.js": "three.js",
+    "D3.js": "d3",
+    "Leaflet": "leaflet",
+    "Moment.js": "moment",
 }
-_SPA_FRAMEWORKS = ("react", "vue", "angular")
+# javascript_worker.py:_detect_spa spa_frameworks list
+_SPA_FRAMEWORKS = ("React", "Angular", "Vue.js", "Ember.js")
+
+# W15 CSS-framework / page-builder class-token signatures
+# (third_party_services_worker.py:154-175; detected over the bodyclass
+# meta — the span grammar's class-attribute signal)
+CSS_FRAMEWORK_SIGNATURES = {
+    "bootstrap": "bootstrap",
+    "foundation": "foundation",
+    "bulma": "bulma",
+    "tailwind": "tailwind",
+    "materialize": "materialize",
+    "semantic_ui": "semantic",
+    "pure_css": "pure-",
+    "skeleton": "skeleton",
+}
+PAGE_BUILDER_SIGNATURES = {
+    "elementor": "elementor",
+    "visual_composer": "vc_",
+    "beaver_builder": "fl-builder",
+    "siteorigin": "siteorigin",
+    "gutenberg": "wp-block-",
+    "oxygen": "ct-section",
+    "brizy": "brz-",
+    "thrive_architect": "thrv_",
+    "cornerstone": "cs-content",
+}
 
 
 def _of_kind(kind: str) -> Column:
@@ -110,9 +165,9 @@ def _header_joined(headers_col: str | None, key: str) -> Column:
 
 
 def page_title_struct() -> Column:
-    """W1: first title text + length; meta robots; the OpenGraph property
-    surface (page_title_worker.py:45-230 extracts 10 og:* props — the
-    span grammar carries og:title/description/image/url/type/site_name)."""
+    """W1: first title text + length; meta robots; the full 10-prop
+    OpenGraph surface (page_title_worker.py:166-177: locale/type/title/
+    description/url/site_name/image/image_width/image_height/image_type)."""
     titles = _texts(_of_kind("title"))
     title = F.get(titles, 0)
     metas = _metas()
@@ -131,6 +186,13 @@ def page_title_struct() -> Column:
         _meta_first("og:title").alias("og_title"),
         _meta_first("og:description").alias("og_description"),
         _meta_first("og:image").alias("og_image"),
+        _meta_first("og:url").alias("og_url"),
+        _meta_first("og:type").alias("og_type"),
+        _meta_first("og:site_name").alias("og_site_name"),
+        _meta_first("og:locale").alias("og_locale"),
+        _meta_first("og:image_width").alias("og_image_width"),
+        _meta_first("og:image_height").alias("og_image_height"),
+        _meta_first("og:image_type").alias("og_image_type"),
         (F.size(og) > 0).alias("has_og"),
     )
 
@@ -336,6 +398,20 @@ def links_struct(host_col: str | None = "host") -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _extension_counts(refs: Column) -> Column:
+    """Per-extension image count map (images_worker.py:244-264
+    ``extension_counts`` — splitext-style '.ext' keys, lowercased).
+    O(k²) HOF over the per-row array (k is tiny); no shuffle."""
+    exts = F.transform(
+        refs, lambda r: F.lower(F.regexp_extract(r, r"(\.[A-Za-z0-9]+)([?#].*)?$", 1))
+    )
+    present = F.array_distinct(F.filter(exts, lambda x: F.length(x) > 0))
+    return F.map_from_arrays(
+        present,
+        F.transform(present, lambda e: F.size(F.filter(exts, lambda x: x == e))),
+    )
+
+
 def _dim_of(r: Column, key: str) -> Column:
     v = F.regexp_extract(r, rf"[?&]{key}=(\d+)", 1)
     return F.when(F.length(v) > 0, v.cast("int"))
@@ -363,6 +439,7 @@ def images_struct() -> Column:
         F.size(
             F.filter(refs, lambda r: (w_of(r) < 100) & (h_of(r) < 100))
         ).alias("undersized"),
+        _extension_counts(refs).alias("extension_counts"),
     )
 
 
@@ -381,12 +458,19 @@ def directives_struct(headers_col: str | None = None) -> Column:
     combined = F.concat_ws(",", robots_meta, x_robots)
     has_noindex = combined.contains("noindex")
     has_nofollow = combined.contains("nofollow")
+    # unavailable_after directive value (directives_worker.py parses it
+    # out of the robots content alongside the boolean directives)
+    unavailable_after = F.when(
+        combined.contains("unavailable_after:"),
+        F.regexp_extract(combined, r"unavailable_after:\s*([^,]+)", 1),
+    )
     return F.struct(
         F.regexp_replace(robots_meta, "^robots: ", "").alias("robots_meta"),
         x_robots.alias("x_robots_tag"),
         has_noindex.alias("has_noindex"),
         has_nofollow.alias("has_nofollow"),
         combined.contains("noarchive").alias("has_noarchive"),
+        unavailable_after.alias("unavailable_after"),
         (~has_noindex).alias("is_indexable"),
         (~has_nofollow).alias("is_followable"),
     )
@@ -475,10 +559,30 @@ def text_metrics_struct() -> Column:
     )
     n_spans = F.size(F.col(SPANS))
     html_size = F.array_max(F.transform(F.col(SPANS), lambda s: s["offset"]))
+    # sentences: [.!?]+ split, non-empty after trim
+    # (page_elements_worker.py:289-292), summed over the text-bearing spans
+    sentences = F.aggregate(
+        F.transform(
+            texts,
+            lambda t: F.size(
+                F.filter(
+                    F.split(t, r"[.!?]+"),
+                    lambda s: F.length(F.trim(s)) > 0,
+                )
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
     return F.struct(
         words.alias("word_count"),
         chars.alias("text_chars"),
         F.size(_of_kind("text")).alias("paragraphs"),
+        sentences.alias("sentence_count"),
+        # avg_words_per_sentence rounded to 1 place (:299)
+        F.when(sentences > 0, F.round(words / sentences, 1))
+        .otherwise(F.lit(0.0))
+        .alias("avg_words_per_sentence"),
         n_spans.alias("span_count"),
         F.when(n_spans > 0, F.round(F.size(texty) / n_spans, 4)).alias("text_span_ratio"),
         html_size.alias("html_size"),
@@ -570,9 +674,11 @@ def canonical_struct(
     canon = F.filter(metas, lambda t: t.startswith("canonical:"))
     href = F.regexp_replace(F.get(canon, 0), "^canonical: ", "")
     link_hdr = _header_joined(headers_col, "link")
+    # pull the <url> bound to rel="canonical" specifically — the link
+    # header may also carry rel="alternate" hreflang values (W7)
     hdr_href = F.when(
         link_hdr.contains('rel="canonical"'),
-        F.regexp_extract(link_hdr, r"<([^>]*)>", 1),
+        F.regexp_extract(link_hdr, r"<([^>]*)>;\s*rel=\"canonical\"", 1),
     )
     robots = F.concat_ws(",", F.filter(metas, lambda t: t.startswith("robots:")))
     return F.struct(
@@ -611,18 +717,43 @@ def ga_analytics_struct() -> Column:
     )
 
 
-def hreflang_struct(url_col: str = "url_norm") -> Column:
-    """W7: hreflang alternates — lang codes, validity, self-reference
-    (hreflang_worker.py:51-383; lang-code regex validation)."""
+def hreflang_struct(
+    url_col: str = "url_norm", headers_col: str | None = None
+) -> Column:
+    """W7: hreflang alternates from BOTH sources the reference reads
+    (hreflang_worker.py:51-383): HTML link alternates (the hreflang:
+    meta) and HTTP ``Link: <url>; rel="alternate"; hreflang="..."``
+    header values; lang-code regex validation, self-reference,
+    x-default."""
     metas = _metas()
     hl = F.filter(metas, lambda t: t.startswith("hreflang:"))
-    entries = F.transform(
+    html_entries = F.transform(
         hl,
         lambda t: F.struct(
             F.regexp_extract(t, r"^hreflang: (\S+) ", 1).alias("lang"),
             F.regexp_extract(t, r"^hreflang: \S+ (.*)$", 1).alias("href"),
         ),
     )
+    if headers_col is not None:
+        link_vals = F.coalesce(
+            F.try_element_at(F.col(headers_col), F.lit("link")),
+            F.array().cast("array<string>"),
+        )
+        hdr_entries = F.transform(
+            F.filter(
+                link_vals,
+                lambda v: v.contains('rel="alternate"') & v.contains("hreflang="),
+            ),
+            lambda v: F.struct(
+                F.regexp_extract(v, r'hreflang="([^"]+)"', 1).alias("lang"),
+                F.regexp_extract(v, r"<([^>]*)>", 1).alias("href"),
+            ),
+        )
+    else:
+        hdr_entries = F.array().cast(
+            "array<struct<lang:string,href:string>>"
+        )
+    entries = F.concat(html_entries, hdr_entries)
     langs = F.array_distinct(F.transform(entries, lambda e: e["lang"]))
     valid = F.filter(
         langs, lambda code: code.rlike("^[a-z]{2}(-[a-z]{2})?$")
@@ -632,6 +763,7 @@ def hreflang_struct(url_col: str = "url_norm") -> Column:
     )
     return F.struct(
         F.size(entries).alias("count"),
+        F.size(hdr_entries).alias("header_count"),
         langs.alias("langs"),
         (F.size(langs) - F.size(valid)).alias("invalid_lang_count"),
         self_ref.alias("has_self_reference"),
@@ -686,16 +818,31 @@ def mobile_struct() -> Column:
 # W14 structured data: JSON-LD + microdata type flags
 # ---------------------------------------------------------------------------
 
-_SCHEMA_FLAG_TYPES = (
-    "Article", "Product", "FAQPage", "Organization", "BreadcrumbList",
-    "WebSite", "Event", "LocalBusiness",
-)
+# schema.org type -> reference flag name (structured_worker.py:76-90 —
+# all 15 has_* flags)
+_SCHEMA_FLAG_TYPES = {
+    "Organization": "has_organization",
+    "WebSite": "has_website",
+    "WebPage": "has_webpage",
+    "BreadcrumbList": "has_breadcrumb",
+    "Product": "has_product",
+    "Review": "has_review",
+    "AggregateRating": "has_aggregate_rating",
+    "LocalBusiness": "has_local_business",
+    "Article": "has_article",
+    "Event": "has_event",
+    "Recipe": "has_recipe",
+    "FAQPage": "has_faq",
+    "Person": "has_person",
+    "VideoObject": "has_video",
+    "HowTo": "has_how_to",
+}
 
 
 def structured_data_struct() -> Column:
     """W14 (structured_worker.py:48-453): JSON-LD + Microdata types with
-    per-type has_<type> flags (the reference keeps 15 flags; the span
-    grammar carries 8 schema.org types over jsonld:/microdata: metas)."""
+    the reference's full 15 has_* flag set (:76-90) over jsonld:/
+    microdata: metas."""
     metas = _metas()
     jsonld = F.transform(
         F.filter(metas, lambda t: t.startswith("jsonld:")),
@@ -707,8 +854,8 @@ def structured_data_struct() -> Column:
     )
     types = F.sort_array(F.array_distinct(F.concat(jsonld, micro)))
     flags = [
-        F.array_contains(types, t).alias(f"has_{t.lower()}")
-        for t in _SCHEMA_FLAG_TYPES
+        F.array_contains(types, t).alias(flag)
+        for t, flag in _SCHEMA_FLAG_TYPES.items()
     ]
     return F.struct(
         (F.size(jsonld) + F.size(micro)).alias("schema_count"),
@@ -725,11 +872,11 @@ def structured_data_struct() -> Column:
 
 
 def third_party_struct(host_col: str = "host") -> Column:
-    """W15 (third_party_services_worker.py:44-802): named signature
-    detection over external script refs (THIRD_PARTY_SIGNATURES — the
-    ref-domain slice of the reference's ~24 sets), CMS from the generator
-    meta (:520-610 detects 8 platforms), WP theme from /wp-content/themes/
-    paths (:612-700)."""
+    """W15 (third_party_services_worker.py:44-802): the ~24-service
+    signature table over external script refs (THIRD_PARTY_SIGNATURES),
+    CMS from generator meta + path signatures (:520-610), WP theme from
+    /wp-content/themes/ paths (:612-700), CSS-framework and page-builder
+    class-token detection (:154-175) over the bodyclass meta."""
     refs = _refs(_of_kind("script"))
     ext = F.filter(
         refs,
@@ -746,11 +893,25 @@ def third_party_struct(host_col: str = "host") -> Column:
     ]
     providers = F.sort_array(F.filter(F.array(*hits), lambda x: x.isNotNull()))
     generator = _meta_first("generator")
-    cms = F.when(
-        generator.isNotNull(), F.regexp_extract(generator, r"^([A-Za-z.]+)", 1)
-    )
     all_refs = F.filter(
         F.transform(F.col(SPANS), lambda s: s["media_ref"]), lambda r: r.isNotNull()
+    )
+    # CMS: generator meta first (:520-560), path-signature fallback
+    # (:561-610 — /wp-content/ et al. identify the platform without a
+    # generator tag)
+    cms = F.coalesce(
+        F.when(
+            generator.isNotNull(),
+            F.regexp_extract(generator, r"^([A-Za-z.]+)", 1),
+        ),
+        F.when(
+            F.exists(all_refs, lambda r: r.contains("/wp-content/")),
+            F.lit("WordPress"),
+        ),
+        F.when(
+            F.exists(all_refs, lambda r: r.contains("cdn.shopify.com")),
+            F.lit("Shopify"),
+        ),
     )
     theme = F.get(
         F.filter(
@@ -762,6 +923,22 @@ def third_party_struct(host_col: str = "host") -> Column:
         ),
         0,
     )
+    # class-attribute signals (:154-175) over the bodyclass meta
+    bodyclass = F.coalesce(_meta_first("bodyclass"), F.lit(""))
+    css_hits = [
+        F.when(bodyclass.contains(sig), F.lit(name))
+        for name, sig in CSS_FRAMEWORK_SIGNATURES.items()
+    ]
+    css_frameworks = F.sort_array(
+        F.filter(F.array(*css_hits), lambda x: x.isNotNull())
+    )
+    builder_hits = [
+        F.when(bodyclass.contains(sig), F.lit(name))
+        for name, sig in PAGE_BUILDER_SIGNATURES.items()
+    ]
+    page_builders = F.sort_array(
+        F.filter(F.array(*builder_hits), lambda x: x.isNotNull())
+    )
     return F.struct(
         F.size(ext).alias("third_party_scripts"),
         domains.alias("provider_domains"),
@@ -772,6 +949,9 @@ def third_party_struct(host_col: str = "host") -> Column:
         ),
         cms.alias("cms"),
         theme.alias("wp_theme"),
+        css_frameworks.alias("css_frameworks"),
+        page_builders.alias("page_builders"),
+        F.get(page_builders, 0).alias("page_builder"),
     )
 
 
@@ -830,7 +1010,7 @@ ALL_FAMILIES = {
     "pagespeed_data": pagespeed_struct,
 }
 
-_NEEDS_URL = {"uri_data", "hreflang_data"}
+_NEEDS_URL = {"uri_data"}
 _NEEDS_HOST = {"third_party_services"}
 _NEEDS_HEADERS = {"directives_data", "pagespeed_data"}  # headers optional
 
@@ -852,7 +1032,7 @@ def parse_docs(docs: DataFrame, families: list[str] | None = None) -> DataFrame:
         fn = ALL_FAMILIES[name]
         if name == "links_data":
             cols.append(fn("host" if "host" in docs.columns else None).alias(name))
-        elif name == "canonical_data":
+        elif name in ("canonical_data", "hreflang_data"):
             if "url_norm" not in docs.columns:
                 continue
             cols.append(fn("url_norm", hdr).alias(name))

@@ -99,6 +99,11 @@ def run_oracle(
     # P6 escalation state: (crawl_id, host) -> count of all-fail batches;
     # effective fetch level = min(2, count) ∨ entry.forced_strategy
     fail_batches: dict[tuple, int] = {}
+    # P2 autothrottle state: host -> EWMA of the batch-mean latency_class
+    # (engine twin: frontier_loop.py host_lat; quota_h = max(1,
+    # floor(quota / (1+ewma))), AutoThrottle's target-concurrency analog
+    # made batch-deterministic)
+    ewma: dict[str, float] = {}
     next_seq = 0
 
     # --- seed admission, in sorted-crawl_id order (engine parity)
@@ -151,9 +156,13 @@ def run_oracle(
         for e in eligible:
             by_host.setdefault((e.crawl_id, e.host), []).append(e)
         selected: list[_Entry] = []
-        for grp in by_host.values():
+        for (_cid, host), grp in by_host.items():
             grp.sort(key=_Entry.key)
-            selected.extend(grp[: policy.quota_per_host])
+            if policy.autothrottle and host in ewma:
+                q = max(1, int(policy.quota_per_host / (1.0 + ewma[host])))
+            else:
+                q = policy.quota_per_host
+            selected.extend(grp[:q])
 
         # budget: per crawl top-remaining in scheduling order
         by_crawl: dict[str, list[_Entry]] = {}
@@ -256,6 +265,23 @@ def run_oracle(
         for key, sts in batch_statuses.items():
             if sts and all(s >= 400 for s in sts):
                 fail_batches[key] = fail_batches.get(key, 0) + 1
+
+        # P2: EWMA update from this batch's observed latency classes
+        # (same IEEE op order as the engine's avg + alpha-blend)
+        if policy.autothrottle:
+            lat_obs: dict[str, list[int]] = {}
+            for e in scheduled:
+                lat_obs.setdefault(e.host, []).append(
+                    synth.latency_class_of(cfg, e.url_norm)
+                )
+            for h, ls in lat_obs.items():
+                m = sum(ls) / len(ls)
+                if h in ewma:
+                    ewma[h] = (
+                        policy.ewma_alpha * m + (1.0 - policy.ewma_alpha) * ewma[h]
+                    )
+                else:
+                    ewma[h] = m
 
         # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
         admissions.sort(key=lambda a: (a[0], a[1]))

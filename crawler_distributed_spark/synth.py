@@ -410,18 +410,33 @@ def outlinks_of(cfg: SynthConfig, url_norm: str) -> list[str]:
 #   image    media_ref = src, optionally "?w=<px>&h=<px>"; text = alt
 #   meta     text = "<key>: <value>" — keys: description, canonical,
 #            viewport, hreflang, jsonld, microdata, robots, og:<prop>,
-#            generator, amphtml
+#            generator, amphtml, bodyclass (page-builder / CSS-framework
+#            class tokens — the class-attribute signal)
 
+# the reference's 15 schema flags (structured_worker.py:76-90)
 _JSONLD_TYPES = (
     "Article", "Product", "FAQPage", "Organization", "BreadcrumbList",
-    "WebSite", "Event", "LocalBusiness",
+    "WebSite", "Event", "LocalBusiness", "Review", "AggregateRating",
+    "Recipe", "Person", "VideoObject", "HowTo", "WebPage",
 )
+# CDN-visible slice of javascript_worker.py:224-251's 15 library indicators
 _FRAMEWORK_CDNS = (
     "https://cdn.jsdelivr.net/npm/react@18/umd/react.production.min.js",
     "https://cdn.jsdelivr.net/npm/vue@3/dist/vue.global.js",
     "https://cdnjs.cloudflare.com/ajax/libs/angular.js/1.8.3/angular.min.js",
     "https://cdnjs.cloudflare.com/ajax/libs/jquery/3.7.1/jquery.min.js",
+    "https://cdn.jsdelivr.net/npm/ember-source@5.4.0/dist/ember.min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/backbone.js/1.5.0/backbone-min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/knockout/3.5.1/knockout-min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/d3/7.8.5/d3.min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/gsap/3.12.2/gsap.min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/three.js/r128/three.min.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/leaflet/1.9.4/leaflet.js",
+    "https://cdnjs.cloudflare.com/ajax/libs/moment.js/2.29.4/moment.min.js",
 )
+# provider-domain slice of third_party_services_worker.py:44-89's ~24
+# service signature sets (the span grammar carries script src URLs only,
+# so inline-JS signatures like 'gtag(' are represented by their CDN hosts)
 _TP_PROVIDERS = (
     "https://connect.facebook.net/en_US/fbevents.js",
     "https://static.hotjar.com/c/hotjar-1.js",
@@ -431,9 +446,41 @@ _TP_PROVIDERS = (
     "https://snap.licdn.com/li.lms-analytics/insight.min.js",
     "https://analytics.tiktok.com/i18n/pixel/events.js",
     "https://cdn.thirdparty.net/lib.js",
+    "https://script.crazyegg.com/pages/scripts/0001/1234.js",
+    "https://cdn.callrail.com/companies/1234/abcd/12/swap.js",
+    "https://cdn.optimizely.com/js/12345.js",
+    "https://static.zdassets.com/ekr/snippet.js",
+    "https://js.driftt.com/include/2024/drift.js",
+    "https://js-agent.newrelic.com/nr-1234.min.js",
+    "https://dev.visualwebsiteoptimizer.com/j.php?a=1",
+    "https://edge.fullstory.com/s/fs.js",
+    "https://cdn.amplitude.com/libs/amplitude-8.min.js",
+    "https://cdn.mouseflow.com/projects/abcd.js",
+    "https://js.hs-scripts.com/1234.js",
+    "https://tools.luckyorange.com/core/lo.js",
+    "https://load.sumo.com/",
+    "https://assets.adobedtm.com/launch-abc.min.js",
 )
 _CMS_NAMES = ("WordPress 6.4", "Drupal 10", "Joomla 5", "Wix.com", "Squarespace")
 _WP_THEMES = ("astra", "divi", "oceanwp", "generatepress")
+# body-class token sets (one builder + one CSS framework per themed page):
+# third_party_services_worker.py:154-175 detects CSS frameworks and page
+# builders from class attributes; the span grammar carries them as a
+# single "bodyclass: <tokens>" meta
+_PAGE_BUILDERS = (
+    "elementor elementor-element", "vc_row wpb_column", "fl-builder fl-module",
+    "siteorigin-panels so-panel", "wp-block-group has-background",
+    "ct-section oxygen-body", "brz-root brz-reset-all", "thrv_wrapper tve_editable",
+    "cs-content cornerstone-body",
+)
+_CSS_FRAMEWORKS = (
+    "bootstrap container-fluid btn-primary col-md-6",
+    "foundation grid-container callout",
+    "bulma is-primary has-text-centered",
+    "tailwind bg-white text-gray-900 flex-row",
+    "materialize waves-effect collection",
+    "pure-menu pure-form pure-g",
+)
 
 
 def spans_of(
@@ -475,7 +522,12 @@ def spans_of(
                 _VOCAB[_h(cfg.seed, "w", url_norm, k, w) % len(_VOCAB)]
                 for w in range(5 + _h(cfg.seed, "nw", url_norm, k) % 10)
             ]
-            text = " ".join(words)
+            # sentence punctuation (page_elements_worker.py:285-299 counts
+            # sentences by [.!?]+ splitting)
+            sl = 3 + _h(cfg.seed, "snl", url_norm, k) % 4
+            text = ". ".join(
+                " ".join(words[i : i + sl]) for i in range(0, len(words), sl)
+            ) + "."
             spans.append(("text", text, None, offset))
             offset += len(text) + 1
         elif sel < 6:
@@ -592,20 +644,38 @@ def spans_of(
                 spans.append(("meta", f"microdata: {st2}", None, offset))
                 offset += 11
             elif m == 7:
-                prop = ("title", "description", "image", "url", "type", "site_name")[
-                    _h(cfg.seed, "ogp", url_norm, k) % 6
-                ]
+                # the 10-prop OpenGraph surface (page_title_worker.py:166-177)
+                prop = (
+                    "title", "description", "image", "url", "type",
+                    "site_name", "locale", "image_width", "image_height",
+                    "image_type",
+                )[_h(cfg.seed, "ogp", url_norm, k) % 10]
                 word = _VOCAB[_h(cfg.seed, "ogv", url_norm, k) % len(_VOCAB)]
                 spans.append(("meta", f"og:{prop}: {word}", None, offset))
                 offset += 13
-            elif m in (8, 9):
+            elif m == 8:
                 spans.append(("meta", f"amphtml: {url_norm}?amp=1", None, offset))
                 offset += 9
+            elif m == 9:
+                # class-attribute signal (third_party_services_worker.py:
+                # 154-175): page builder and/or CSS framework tokens
+                b = _h(cfg.seed, "pbld", url_norm) % (2 * len(_PAGE_BUILDERS))
+                c = _h(cfg.seed, "cssf", url_norm) % (2 * len(_CSS_FRAMEWORKS))
+                toks = []
+                if b < len(_PAGE_BUILDERS):
+                    toks.append(_PAGE_BUILDERS[b])
+                if c < len(_CSS_FRAMEWORKS):
+                    toks.append(_CSS_FRAMEWORKS[c])
+                if toks:
+                    cls = " ".join(toks)
+                    spans.append(("meta", f"bodyclass: {cls}", None, offset))
+                    offset += 10
             else:
                 rb = (
                     "index,follow", "index,follow", "index,follow",
                     "index,follow", "noindex,nofollow", "noarchive,index",
-                )[_h(cfg.seed, "ridx", url_norm) % 6]
+                    "index,unavailable_after: 2026-12-31",
+                )[_h(cfg.seed, "ridx", url_norm) % 7]
                 spans.append(("meta", f"robots: {rb}", None, offset))
                 offset += 22
     return spans
@@ -630,11 +700,22 @@ def response_headers_of(cfg: SynthConfig, url_norm: str) -> list[tuple[str, list
     enc = _ENCODINGS[_h(cfg.seed, "cenc", url_norm) % len(_ENCODINGS)]
     if enc:
         hdrs.append(("content-encoding", [enc]))
+    link_vals: list[str] = []
     if _h(cfg.seed, "hlink", url_norm) % 5 == 0:
         target = url_norm if _h(cfg.seed, "hlc", url_norm) % 2 else (
             url_norm.rsplit("/", 1)[0] + "/0"
         )
-        hdrs.append(("link", [f'<{target}>; rel="canonical"']))
+        link_vals.append(f'<{target}>; rel="canonical"')
+    # header hreflang alternates (hreflang_worker.py:51-383 reads Link
+    # headers with rel="alternate"; hreflang="...")
+    hh = _h(cfg.seed, "hhl", url_norm) % 6
+    if hh == 0:
+        for lang in ("en-us", "de-de")[: 1 + _h(cfg.seed, "hhn", url_norm) % 2]:
+            link_vals.append(
+                f'<{url_norm}?hl={lang}>; rel="alternate"; hreflang="{lang}"'
+            )
+    if link_vals:
+        hdrs.append(("link", link_vals))
     xr = _h(cfg.seed, "xrob", url_norm) % 7
     if xr == 0:
         hdrs.append(("x-robots-tag", ["noindex, nofollow"]))

@@ -8,7 +8,12 @@ import pytest
 
 from crawler_distributed_spark import synth
 from crawler_distributed_spark.extract.spans import (
+    CSS_FRAMEWORK_SIGNATURES,
+    FRAMEWORK_SIGNATURES,
+    PAGE_BUILDER_SIGNATURES,
     THIRD_PARTY_SIGNATURES,
+    _SCHEMA_FLAG_TYPES,
+    _SPA_FRAMEWORKS,
     parse_docs,
 )
 
@@ -110,9 +115,13 @@ def test_page_title_and_og(docs):
         assert row.page_title.has_og == bool(ogs)
         props = sorted({t.split(":")[1] for t in ogs})
         assert list(row.page_title.og_props) == props
-        ogt = [t for t in ogs if t.startswith("og:title: ")]
-        want = ogt[0].removeprefix("og:title: ") if ogt else None
-        assert row.page_title.og_title == want
+        # the 10-prop scalar surface (page_title_worker.py:166-177)
+        for prop in ("title", "description", "image", "url", "type",
+                     "site_name", "locale", "image_width", "image_height",
+                     "image_type"):
+            ogt = [t for t in ogs if t.startswith(f"og:{prop}: ")]
+            want = ogt[0].removeprefix(f"og:{prop}: ") if ogt else None
+            assert row.page_title[f"og_{prop}"] == want, (u, prop)
         if ogs:
             og_hit += 1
     assert og_hit > 0
@@ -267,6 +276,15 @@ def test_images(docs):
         )
         assert row.images_data.oversized == over
         assert row.images_data.undersized == under
+        # per-extension counts (images_worker.py:244-264)
+        import re
+
+        want_ext: dict[str, int] = {}
+        for r in refs:
+            m = re.search(r"(\.[A-Za-z0-9]+)([?#].*)?$", r)
+            if m:
+                want_ext[m.group(1).lower()] = want_ext.get(m.group(1).lower(), 0) + 1
+        assert dict(row.images_data.extension_counts or {}) == want_ext, u
         if with_dims:
             dim_hit += 1
         if over:
@@ -278,15 +296,21 @@ def test_images(docs):
 
 
 def test_directives(docs):
-    noidx_hit = 0
+    noidx_hit = ua_hit = 0
     for u, row in docs.items():
         robots = ",".join(_metas(u, "robots:"))
         assert row.directives_data.has_noindex == ("noindex" in robots)
         assert row.directives_data.is_indexable == ("noindex" not in robots)
         assert row.directives_data.has_noarchive == ("noarchive" in robots)
+        if "unavailable_after:" in robots:
+            want = robots.split("unavailable_after:")[1].split(",")[0].strip()
+            assert row.directives_data.unavailable_after == want
+            ua_hit += 1
+        else:
+            assert row.directives_data.unavailable_after is None
         if "noindex" in robots:
             noidx_hit += 1
-    assert noidx_hit > 0
+    assert noidx_hit > 0 and ua_hit > 0
 
 
 # --- W9 javascript -----------------------------------------------------------
@@ -315,13 +339,12 @@ def test_javascript(docs):
         assert row.javascript_data.inline_bytes == ib
         fws = sorted(
             name
-            for name, sig in {"react": "react", "vue": "vue",
-                              "angular": "angular", "jquery": "jquery"}.items()
+            for name, sig in FRAMEWORK_SIGNATURES.items()
             if any(sig in m.lower() for _, m in ext)
         )
         assert list(row.javascript_data.frameworks) == fws
         assert row.javascript_data.spa_indicator == bool(
-            {"react", "vue", "angular"} & set(fws)
+            set(_SPA_FRAMEWORKS) & set(fws)
         )
         if fws:
             fw_hit += 1
@@ -334,15 +357,38 @@ def test_javascript(docs):
 
 
 def test_text_metrics(docs):
+    import re
+
+    multi_sent_hit = 0
     for u, row in docs.items():
         texts = [t for (k, t, m, o) in _spans(u) if k in ("text", "heading", "title")]
         assert row.text_metrics.text_chars == sum(len(t) for t in texts)
-        assert row.text_metrics.word_count == sum(len(t.split()) for t in texts)
+        words = sum(len(t.split()) for t in texts)
+        assert row.text_metrics.word_count == words
         assert row.text_metrics.span_count == len(_spans(u))
         assert row.text_metrics.paragraphs == sum(
             1 for (k, t, m, o) in _spans(u) if k == "text"
         )
         assert row.text_metrics.html_size == max(o for (k, t, m, o) in _spans(u))
+        # sentence split on [.!?]+ (page_elements_worker.py:289-299)
+        sents = sum(
+            len([s for s in re.split(r"[.!?]+", t) if s.strip()]) for t in texts
+        )
+        assert row.text_metrics.sentence_count == sents
+        # Spark F.round = HALF_UP over the exact binary double (Java
+        # BigDecimal(double)); Decimal(float) reproduces that exactly,
+        # Python's builtin round (banker's) does not
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_avg = (
+            float(Decimal(words / sents).quantize(Decimal("0.1"), ROUND_HALF_UP))
+            if sents
+            else 0.0
+        )
+        assert row.text_metrics.avg_words_per_sentence == want_avg
+        if sents > len(texts):
+            multi_sent_hit += 1
+    assert multi_sent_hit > 0
 
 
 # --- W4 canonical -------------------------------------------------------------
@@ -427,8 +473,9 @@ def test_structured(docs):
         md = [t.removeprefix("microdata: ") for t in _metas(u, "microdata:")]
         assert row.structured_data.schema_count == len(jl) + len(md)
         assert list(row.structured_data.types) == sorted(set(jl + md))
-        assert row.structured_data.has_product == ("Product" in jl + md)
-        assert row.structured_data.has_organization == ("Organization" in jl + md)
+        # all 15 reference flags (structured_worker.py:76-90)
+        for typ, flag in _SCHEMA_FLAG_TYPES.items():
+            assert row.structured_data[flag] == (typ in jl + md), (u, typ)
         if md:
             md_hit += 1
     assert md_hit > 0
@@ -451,6 +498,7 @@ def test_third_party(docs):
             if any(sig in r for r in ext)
         )
         assert list(row.third_party_services.providers) == provs
+        refs = [m for (k, t, m, o) in _spans(u) if m]
         gen = _metas(u, "generator:")
         if gen:
             import re
@@ -458,15 +506,29 @@ def test_third_party(docs):
             want = re.match(r"^([A-Za-z.]+)", gen[0].removeprefix("generator: ")).group(1)
             assert row.third_party_services.cms == want
             cms_hit += 1
+        elif any("/wp-content/" in r for r in refs):
+            # path-signature fallback (third_party_services_worker.py:561-610)
+            assert row.third_party_services.cms == "WordPress"
         else:
             assert row.third_party_services.cms is None
-        themes = [
-            m for (k, t, m, o) in _spans(u)
-            if m and "/wp-content/themes/" in m
-        ]
+        themes = [m for m in refs if "/wp-content/themes/" in m]
         if themes:
             assert row.third_party_services.wp_theme in themes[0]
             theme_hit += 1
+        # class-token signals over the bodyclass meta (:154-175)
+        bc = _metas(u, "bodyclass:")
+        cls = bc[0].removeprefix("bodyclass: ") if bc else ""
+        want_css = sorted(
+            n for n, s in CSS_FRAMEWORK_SIGNATURES.items() if s in cls
+        )
+        want_bld = sorted(
+            n for n, s in PAGE_BUILDER_SIGNATURES.items() if s in cls
+        )
+        assert list(row.third_party_services.css_frameworks) == want_css, u
+        assert list(row.third_party_services.page_builders) == want_bld, u
+        assert row.third_party_services.page_builder == (
+            want_bld[0] if want_bld else None
+        )
         if provs:
             prov_hit += 1
     assert prov_hit > 0 and cms_hit > 0 and theme_hit > 0
@@ -538,7 +600,9 @@ def test_headers_canonical(docs_h):
         link = ",".join(hdrs.get("link", []))
         want = None
         if 'rel="canonical"' in link:
-            want = link.split("<", 1)[1].split(">", 1)[0]
+            import re
+
+            want = re.search(r'<([^>]*)>;\s*rel="canonical"', link).group(1)
         assert row.canonical_data.header_canonical == want
         canons = [t.removeprefix("canonical: ") for t in _metas(u, "canonical:")]
         conflict = bool(canons and want and canons[0] != want)
@@ -561,3 +625,27 @@ def test_headers_pagespeed(docs_h):
         if enc:
             enc_hit += 1
     assert enc_hit > 0
+
+
+def test_headers_hreflang(docs_h):
+    """W7 header path: Link rel=alternate hreflang values merge with the
+    HTML hreflang metas (hreflang_worker.py:51-383)."""
+    import re
+
+    hdr_hit = 0
+    for u, row in docs_h.items():
+        hdrs = dict(synth.response_headers_of(CFG, u))
+        alts = [
+            v for v in hdrs.get("link", [])
+            if 'rel="alternate"' in v and "hreflang=" in v
+        ]
+        assert row.hreflang_data.header_count == len(alts)
+        html_langs = {t.split()[1] for t in _metas(u, "hreflang:")}
+        hdr_langs = {re.search(r'hreflang="([^"]+)"', v).group(1) for v in alts}
+        assert set(row.hreflang_data.langs) == html_langs | hdr_langs
+        assert row.hreflang_data["count"] == len(_metas(u, "hreflang:")) + len(alts)
+        if alts:
+            hdr_hit += 1
+            # header alternates point at ?hl= variants of the same URL
+            assert row.hreflang_data.has_self_reference
+    assert hdr_hit > 0

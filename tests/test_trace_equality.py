@@ -150,3 +150,26 @@ def test_resume_from_checkpoint(spark, tmp_path, oracle_result):
     for r in res.seen(spark).collect():
         seen.setdefault(r.crawl_id, set()).add(r.url_norm)
     assert seen == oracle_result.seen
+
+
+def test_autothrottle_trace_equality(spark, tmp_path):
+    """P2 equality gate: with autothrottle on, the per-host EWMA latency
+    state scales next-batch quotas (engine: frontier_loop host_lat +
+    select_fetch_batch host_quotas; AutoThrottle made batch-deterministic)
+    — engine and oracle must still agree on trace AND seen set, and the
+    throttle must actually have engaged (schedule differs from default)."""
+    pol = CrawlPolicy(autothrottle=True, quota_per_host=3)
+    d = str(tmp_path / "at_ckpt")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    eng = run_crawl(spark, CFG, SEEDS, robots, d, pol)
+    orc = run_oracle(CFG, SEEDS, pol)
+    assert _engine_trace(spark, eng) == sorted(
+        orc.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in eng.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == orc.seen
+    # throttling engaged: the ordering differs from the unthrottled run
+    base = run_oracle(CFG, SEEDS, CrawlPolicy(quota_per_host=3))
+    assert orc.trace != base.trace
