@@ -692,20 +692,33 @@ def _phash_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-# Shared CTE block: word-3-gram shingles -> 16 portable minhashes -> 4 bands
+# Shared CTE block: word-3-gram shingles -> one 60-bit base hash per
+# shingle -> 16 universal-hash permutations ((A_k*h0+B_k) mod P, same
+# literal coefficients as pipelines/dedup.py::minhash_coeffs) -> 4 bands
 # (phash60 band hash) -> bucket-capped LSH candidate pairs. Mirrors
-# pipelines/dedup.py::minhash_near_dup_pairs(portable=True, max_bucket=100).
-_MINHASH_CTES = """
+# minhash_near_dup_pairs(portable=True, max_bucket=100).
+from crawler_distributed_spark.pipelines.dedup import (  # noqa: E402
+    MINHASH_P as _MH_P,
+    minhash_coeffs as _mh_coeffs,
+)
+
+_MH_COEFF_VALUES = ", ".join(
+    f"({k}, {a}, {b})" for k, (a, b) in enumerate(_mh_coeffs(16))
+)
+
+_MINHASH_CTES = f"""
         toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
                  FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
                              i -> array_to_string(ts[i + 1 : i + 3], ' '))) AS shingle
                FROM toks),
-        mh AS (SELECT doc_id, k.k AS k,
-                      min(('0x' || substr(md5(k.k::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS mh
-               FROM sh CROSS JOIN range(16) k(k)
-               GROUP BY doc_id, k.k),
+        h0 AS (SELECT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_P} AS h0
+               FROM sh),
+        mh AS (SELECT doc_id, c.k AS k, min((c.a * h0 + c.b) % {_MH_P}) AS mh
+               FROM h0, (VALUES {_MH_COEFF_VALUES}) AS c(k, a, b)
+               GROUP BY doc_id, c.k),
         bands AS (SELECT doc_id, (k // 4) AS band_id,
                          ('0x' || substr(md5(string_agg(mh::VARCHAR, '|' ORDER BY k)), 1, 15))::BIGINT AS band_hash
                   FROM mh GROUP BY doc_id, (k // 4)),

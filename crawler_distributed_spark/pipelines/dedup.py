@@ -47,9 +47,28 @@ def _shingles(text_col: str, n: int = 3):
     ), toks
 
 
+# Universal-hash MinHash permutations over ONE base hash per shingle.
+# The naive portable path md5-hashes every shingle num_hashes times; at
+# corpus scale the md5 dominates the stage. Instead: h0 = phash60(shingle)
+# mod P once, then the k-th permutation hash is (A_k*h0 + B_k) mod P —
+# plain BIGINT arithmetic both engines compute identically, and
+# A_k, h0 < P = 2^31-1 keeps every product < 2^62 (no ANSI overflow).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_k, B_k) pairs, shared with the DuckDB oracle SQL
+    generator (__spark_entry__._minhash_ctes)."""
+    return [
+        ((k * 2_654_435_761 + 1) % MINHASH_P, (k * 40_503 + 7) % MINHASH_P)
+        for k in range(num_hashes)
+    ]
+
+
 def _perm_hash(k: int, portable: bool) -> Column:
     if portable:
-        return phash60(F.lit(str(k)), F.col("shingle"))
+        a, b = minhash_coeffs(k + 1)[k]
+        return (F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(MINHASH_P)
     return F.xxhash64("shingle", F.lit(k))
 
 
@@ -64,6 +83,11 @@ def minhash_signatures(
     """(id, mh0..mhK-1): MinHash signature per doc, one shuffle."""
     shingle_expr, _ = _shingles(text_col, shingle_n)
     exploded = docs.select(id_col, F.explode(shingle_expr).alias("shingle"))
+    if portable:
+        # one md5 per shingle; permutations are arithmetic (see MINHASH_P)
+        exploded = exploded.withColumn(
+            "_h0", phash60(F.col("shingle")) % F.lit(MINHASH_P)
+        )
     aggs = [
         F.min(_perm_hash(k, portable)).alias(f"mh{k}") for k in range(num_hashes)
     ]
