@@ -581,6 +581,11 @@ def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("images_data.total").alias("n_images"),
         F.col("javascript_data.total").alias("n_scripts"),
         F.col("text_metrics.word_count").alias("words"),
+        F.col("text_metrics.sentence_count").alias("sentences"),
+        F.col("page_title.og_count").alias("n_og"),
+        F.col("structured_data.schema_count").alias("n_schema"),
+        F.col("third_party_services.cms").alias("cms"),
+        F.col("third_party_services.page_builder").alias("page_builder"),
         F.col("uri_data.depth").alias("uri_depth"),
         F.col("mobile_data.score").alias("mobile_score"),
         F.col("directives_data.is_indexable").alias("indexable"),
@@ -777,6 +782,15 @@ def oracle_sql() -> dict[str, str]:
     # writers are deterministic and idempotent)
     trace_path = _ship_oracle_trace()
     span_path = _ship_span_docs()
+    # page-builder class-token CASE list, generated from the SAME
+    # signature table the engine uses (extract/spans.py) so the two
+    # sides cannot drift
+    from crawler_distributed_spark.extract.spans import PAGE_BUILDER_SIGNATURES
+
+    _builder_case_sql = ", ".join(
+        f"CASE WHEN contains(bc, '{sig}') THEN '{name}' END"
+        for name, sig in PAGE_BUILDER_SIGNATURES.items()
+    )
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1047,7 +1061,13 @@ def oracle_sql() -> dict[str, str]:
             x AS (
               SELECT doc_id, host, url_norm, spans,
                      (list_filter(spans, s -> s.kind = 'meta'
-                                     AND starts_with(s.text, 'viewport:'))[1]).text AS vp
+                                     AND starts_with(s.text, 'viewport:'))[1]).text AS vp,
+                     regexp_replace((list_filter(spans, s -> s.kind = 'meta'
+                                     AND starts_with(s.text, 'generator: '))[1]).text,
+                                    '^generator: ', '') AS gen,
+                     coalesce((list_filter(spans, s -> s.kind = 'meta'
+                                     AND starts_with(s.text, 'bodyclass: '))[1]).text,
+                              '') AS bc
               FROM d)
             SELECT doc_id,
                    (list_filter(spans, s -> s.kind = 'title')[1]).text AS title,
@@ -1074,6 +1094,27 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(spans, s -> s.kind IN ('text', 'heading', 'title')
                                              AND s.text IS NOT NULL),
                        s -> len(regexp_split_to_array(s.text, '\\s+')))), 0)::BIGINT AS words,
+                   coalesce(list_sum(list_transform(
+                       list_filter(spans, s -> s.kind IN ('text', 'heading', 'title')
+                                             AND s.text IS NOT NULL),
+                       s -> len(list_filter(regexp_split_to_array(s.text, '[.!?]+'),
+                                            x2 -> trim(x2) != '')))), 0)::BIGINT AS sentences,
+                   len(list_filter(spans, s -> s.kind = 'meta'
+                                     AND starts_with(s.text, 'og:'))) AS n_og,
+                   len(list_filter(spans, s -> s.kind = 'meta'
+                                     AND (starts_with(s.text, 'jsonld:')
+                                          OR starts_with(s.text, 'microdata:')))) AS n_schema,
+                   CASE
+                     WHEN gen IS NOT NULL THEN regexp_extract(gen, '^([A-Za-z.]+)', 1)
+                     WHEN len(list_filter(spans, s -> s.media_ref IS NOT NULL
+                              AND contains(s.media_ref, '/wp-content/'))) > 0
+                       THEN 'WordPress'
+                     WHEN len(list_filter(spans, s -> s.media_ref IS NOT NULL
+                              AND contains(s.media_ref, 'cdn.shopify.com'))) > 0
+                       THEN 'Shopify'
+                   END AS cms,
+                   (list_sort(list_filter([{_builder_case_sql}],
+                                          x2 -> x2 IS NOT NULL)))[1] AS page_builder,
                    len(list_filter(string_split(
                        regexp_replace(regexp_replace(url_norm, '^[a-z]+://[^/]*', ''),
                                       '[?#].*$', ''), '/'),
