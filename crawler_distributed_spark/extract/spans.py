@@ -977,6 +977,15 @@ def pagespeed_struct(headers_col: str | None = None) -> Column:
     )
     enc = _header_joined(headers_col, "content-encoding")
     clen = _header_joined(headers_col, "content-length").try_cast("long")
+    # performance indicator flags (pagespeed_worker.py:347-413); the
+    # minified-CSS heuristic has no span surface (no <style> spans) and
+    # is omitted
+    refs = F.transform(ext_scripts, lambda s: s["media_ref"])
+    img_refs = _refs(images)
+    with_dims = F.filter(
+        img_refs,
+        lambda r: _dim_of(r, "w").isNotNull() & _dim_of(r, "h").isNotNull(),
+    )
     return F.struct(
         n_res.alias("resource_count"),
         F.size(scripts).alias("scripts"),
@@ -988,6 +997,11 @@ def pagespeed_struct(headers_col: str | None = None) -> Column:
         (F.length(enc) > 0).alias("is_compressed"),
         clen.alias("content_length"),
         (F.size(scripts) > 5).alias("many_scripts"),
+        F.exists(refs, lambda r: r.contains(".min.js")).alias("has_minified_js"),
+        (render_blocking > 0).alias("has_render_blocking_resources"),
+        (F.size(img_refs) > F.size(with_dims)).alias("has_unoptimized_images"),
+        (F.size(F.col(SPANS)) > 1500).alias("has_excessive_dom_size"),
+        (n_res > 50).alias("has_large_network_payloads"),
     )
 
 

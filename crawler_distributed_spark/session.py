@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd for parquet + shuffle: the per-batch disk traffic (shuffle
+        # spill, durable fetched/admitted writes, seen-set re-scan) is the
+        # engine's non-scaling floor — one disk locally, finite disks per
+        # node on a cluster. zstd shrinks bytes-on-disk vs snappy/lz4 for
+        # URL-heavy rows at a CPU cost that DOES scale with cores
+        # (measured, fat workload at local[8]: admission stage 276.5s ->
+        # 197.3s, bit-identical output hashes).
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
     )
     if master and master.startswith("spark://"):
         builder = (

@@ -537,6 +537,33 @@ def test_third_party(docs):
 # --- W13 pagespeed ------------------------------------------------------------
 
 
+def test_pagespeed_indicator_flags(docs):
+    """W13 performance indicators (pagespeed_worker.py:347-413); the
+    minified-CSS heuristic has no span surface and is omitted."""
+    minjs_hit = 0
+    for u, row in docs.items():
+        sp = _spans(u)
+        ext = [m for (k, t, m, o) in sp if k == "script" and m]
+        rb = sum(
+            1
+            for (k, t, m, o) in sp
+            if k == "script" and m and "async" not in (t or "") and "defer" not in (t or "")
+        )
+        imgs = [m for (k, t, m, o) in sp if k == "image"]
+        with_dims = [r for r in imgs if _dim(r, "w") and _dim(r, "h")]
+        n_res = sum(1 for (k, t, m, o) in sp if k in ("script", "image", "video"))
+        assert row.pagespeed_data.has_minified_js == any(".min.js" in r for r in ext)
+        assert row.pagespeed_data.has_render_blocking_resources == (rb > 0)
+        assert row.pagespeed_data.has_unoptimized_images == (
+            len(imgs) > len(with_dims)
+        )
+        assert row.pagespeed_data.has_excessive_dom_size == (len(sp) > 1500)
+        assert row.pagespeed_data.has_large_network_payloads == (n_res > 50)
+        if row.pagespeed_data.has_minified_js:
+            minjs_hit += 1
+    assert minjs_hit > 0  # the framework CDNs serve .min.js
+
+
 def test_pagespeed(docs):
     for u, row in docs.items():
         n_scripts = sum(1 for (k, t, m, o) in _spans(u) if k == "script")
