@@ -51,3 +51,79 @@ def test_stream_events_rollup(spark, tmp_path):
     }
     got_map = {(r.window_start, r.event_type): (r.n, r.total) for r in got}
     assert got_map == want
+
+
+def test_stream_host_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: state crosses micro-batches;
+    closed sessions match a pure-Python oracle; arrival order and
+    parallelism never change the output (boundaries are data-defined)."""
+    import datetime
+
+    from crawler_distributed_spark.streaming.stateful import stream_host_sessions
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # deterministic synthetic feed: 3 hosts, gaps of 10s within sessions,
+    # 2h gaps between them (gap_seconds=1800 closes on the 2h jumps)
+    for h in range(3):
+        t = base + datetime.timedelta(minutes=h)
+        for sess in range(3 + h):
+            for k in range(2 + (h + sess) % 3):
+                rows.append((f"host{h}.example", eid, t))
+                eid += 1
+                t += datetime.timedelta(seconds=10)
+            t += datetime.timedelta(hours=2)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "host string, event_id long, ts timestamp"
+    # 4 time-range files with increasing mod times: per-host arrival stays
+    # time-ordered ACROSS micro-batches (the standard file-source
+    # assumption for stateful sessionization) while rows WITHIN each file
+    # are hash-shuffled — the handler's in-batch sort must fix that
+    import time as _time
+
+    rows_sorted = sorted(rows, key=lambda r: r[2])
+    qsize = (len(rows_sorted) + 3) // 4
+    for i in range(4):
+        chunk = rows_sorted[i * qsize : (i + 1) * qsize]
+        (
+            spark.createDataFrame(chunk, schema)
+            .orderBy(F.xxhash64("event_id"))
+            .coalesce(1)
+            .write.parquet(str(feed / "p"), mode="append")
+        )
+        _time.sleep(1.1)  # distinct mod times -> deterministic file order
+    # one file per trigger -> 4 micro-batches: per-host state must
+    # genuinely survive across invocations, not just within one batch
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "p"))
+    )
+    q = stream_host_sessions(stream, gap_seconds=1800, query_name="sess_test")
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    # pure-Python oracle over the same rows
+    want = {}
+    by_host = {}
+    for h, e, t in rows:
+        by_host.setdefault(h, []).append((t, e))
+    for h, evs in by_host.items():
+        evs.sort()
+        start = last = None
+        n = 0
+        for t, _ in evs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif (t - last).total_seconds() <= 1800:
+                last, n = t, n + 1
+            else:
+                want[(h, start, last)] = n
+                start, last, n = t, t, 1
+        # the final open session is never emitted (stays in state)
+    assert got == want
+    assert len(got) >= 9  # every host closed at least (sessions-1) sessions
