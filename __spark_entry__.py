@@ -25,6 +25,7 @@ Operator coverage map (name → SURVEY §2 item):
   quality_scores         training: punctuation/uppercase quality ratios
   lang_distribution      training: corpus language histogram
   ann_cosine_topk        training: brute-force cosine top-k similarity
+  ann_ivf_topk           training: IVF-flat ANN (deterministic cells + nprobe)
   events_daily_rollup    streaming-table rollup (event-time day windows)
   crawl_trace_synthetic  the flagship frontier loop (non-SQL; rows-only)
   minhash_near_dup       training: MinHash-LSH near-dup candidates (non-SQL)
@@ -496,6 +497,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k: inverted-file cells from a deterministic
+    md5-chosen centroid set, nprobe nearest cells per query, exact
+    cosine within probed cells — the DuckDB oracle reproduces the
+    centroid set, cell assignment, probes and scores exactly."""
+    from crawler_distributed_spark.pipelines.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        e, queries, dim=_EMB_DIM, k=5, n_centroids=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
     (2 bands × 6 bits; a pair is a candidate if it collides in any band).
@@ -681,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dup_groups": q_simhash_dup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "span_extraction": q_span_extraction,
         "multimodal_features": q_multimodal_features,
@@ -1011,6 +1029,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, c.vec_id,
                      {_cos_sql('c.embedding', 'q.qemb')} AS cos_sim
               FROM sig c JOIN q ON c.s = q.s),
+            r AS (SELECT query_id, vec_id, cos_sim,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_sim DESC, vec_id) AS rank
+                  FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_ivf_topk": f"""
+            WITH cent AS (
+              SELECT vec_id AS cent_id, embedding AS cvec
+              FROM embeddings
+              ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+              LIMIT 16),
+            assigned AS (
+              SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                    c.cent_id) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, qemb, cent_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qemb, c.cent_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC,
+                                    c.cent_id) AS rn
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     {_cos_sql('a.embedding', 'p.qemb')} AS cos_sim
+              FROM assigned a JOIN probes p ON a.cent_id = p.cent_id),
             r AS (SELECT query_id, vec_id, cos_sim,
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY cos_sim DESC, vec_id) AS rank

@@ -172,3 +172,75 @@ def embedding_near_dup_pairs(
         .distinct()
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: inverted-file cells + exact scoring inside probed
+    cells (the FAISS IndexIVFFlat shape, expressed as DataFrame ops).
+
+    Coarse quantizer: the ``n_centroids`` corpus vectors with the
+    smallest md5-derived hash of their id — data-defined, no RNG, and a
+    SQL oracle reproduces the exact same centroid set (the repo's
+    no-wall-clock/no-RNG determinism rule). Every corpus vector is
+    assigned to its nearest centroid by rounded cosine (ties to the
+    lowest centroid id — a total order); a query probes its ``nprobe``
+    nearest cells and scores exactly within them.
+
+    Scale shape: assignment is corpus × n_centroids through a broadcast
+    (no shuffle of the corpus), one row_number window per side; the
+    probe join replaces the corpus×queries cross product with
+    |corpus| * nprobe / n_centroids expected candidates — same contract
+    as lsh_topk but with data-adaptive cells instead of fixed
+    hyperplanes.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import phash60
+
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cvec")
+        )
+        .orderBy(phash60(F.col("_cent_id").cast("string")), "_cent_id")
+        .limit(n_centroids)
+    )
+    cos6 = lambda a, b: F.round(cosine_col(a, b), 6)  # noqa: E731
+
+    aw = Window.partitionBy(id_col).orderBy(
+        F.desc("_ccos"), F.asc("_cent_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", cos6(F.col(vec_col), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "_cent_id")
+    )
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_ccos"), F.asc("_cent_id")
+    )
+    probes = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", cos6(F.col("_qvec"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(qw))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qvec", "_cent_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "_cent_id").select(
+        query_id_col,
+        id_col,
+        cos6(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

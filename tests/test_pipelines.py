@@ -96,6 +96,39 @@ def test_lsh_topk_agrees_with_brute_force_on_top1(spark):
     assert bf1 == lsh1
 
 
+def test_ivf_topk_recall_and_self_match(spark):
+    """IVF-flat: a query's own vector lives in its nearest cell (probe 1
+    always contains self → top-1 must agree with brute force), and with
+    nprobe=4 of 8 cells recall@5 over the probed half of the space stays
+    high on a smooth synthetic manifold."""
+    import math
+
+    rows = []
+    for i in range(200):
+        vec = [math.sin(i * 0.31 + d * 1.7) for d in range(8)]
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id").isin(5, 50)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(corpus, queries, k=5)
+    ivf = similarity.ivf_topk(
+        corpus, queries, dim=8, k=5, n_centroids=8, nprobe=4
+    )
+    bf_top = {}
+    for r in bf.collect():
+        bf_top.setdefault(r.query_id, []).append(r.vec_id)
+    ivf_top = {}
+    for r in ivf.collect():
+        ivf_top.setdefault(r.query_id, []).append(r.vec_id)
+    for qid in bf_top:
+        # self-match: the query vector itself is rank 1 in both
+        assert bf_top[qid][0] == ivf_top[qid][0] == qid
+        # recall@5 with half the cells probed
+        recall = len(set(bf_top[qid]) & set(ivf_top[qid])) / 5
+        assert recall >= 0.6, (qid, bf_top[qid], ivf_top[qid])
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
