@@ -30,6 +30,9 @@ AUDITS = {
     "seen_antijoin": ["PushedFilters"],
     "dedup_exact": ["HashAggregate"],
     "ann_cosine_topk": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+    # IVF: centroid assignment and probe join must both be broadcasts —
+    # the corpus is never shuffled for assignment
+    "ann_ivf_topk": ["BroadcastHashJoin"],
     # the candidates→shingles join shape (VERDICT r1 #9) is asserted
     # precisely in tests/test_pipelines.py::test_ngram_plan_shape (with
     # explicit candidates the correct plan has ZERO semi-joins; the old
