@@ -26,6 +26,7 @@ Operator coverage map (name → SURVEY §2 item):
   lang_distribution      training: corpus language histogram
   ann_cosine_topk        training: brute-force cosine top-k similarity
   ann_ivf_topk           training: IVF-flat ANN (deterministic cells + nprobe)
+  near_dup_cross_check   training: text near-dup pairs scored with embedding cosine
   events_daily_rollup    streaming-table rollup (event-time day windows)
   crawl_trace_synthetic  the flagship frontier loop (non-SQL; rows-only)
   minhash_near_dup       training: MinHash-LSH near-dup candidates (non-SQL)
@@ -497,6 +498,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal verify stage: every text near-dup candidate pair
+    (MinHash-LSH over documents) is scored with the embedding-space
+    cosine of the same ids — the join a training-data pipeline runs to
+    cross-check lexical dedup against semantic similarity before
+    dropping rows. Two joins against the embeddings table with the
+    candidate-pair side as the small (broadcast) side; the corpus is
+    never shuffled."""
+    from crawler_distributed_spark.pipelines.dedup import minhash_near_dup_pairs
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    e = _load(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = minhash_near_dup_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        portable=True,
+        max_bucket=100,
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_eb"))
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("_ea", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("_eb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        pairs.join(ea, "doc_a").join(eb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(dot / (na * nb), 6).alias("emb_cos")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k: inverted-file cells from a deterministic
     md5-chosen centroid set, nprobe nearest cells per query, exact
@@ -699,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_groups": q_simhash_dup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "near_dup_cross_check": q_near_dup_cross_check,
         "embedding_near_dup": q_embedding_near_dup,
         "span_extraction": q_span_extraction,
         "multimodal_features": q_multimodal_features,
@@ -1035,6 +1070,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, vec_id, cos_sim, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "near_dup_cross_check": f"""
+            WITH {_MINHASH_CTES.strip().rstrip()}
+            SELECT p.doc_a, p.doc_b,
+                   {_cos_sql('a.embedding', 'b.embedding')} AS emb_cos
+            FROM pairs p
+            JOIN embeddings a ON a.vec_id = p.doc_a
+            JOIN embeddings b ON b.vec_id = p.doc_b
+            ORDER BY doc_a, doc_b
         """,
         "ann_ivf_topk": f"""
             WITH cent AS (
