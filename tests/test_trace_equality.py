@@ -173,3 +173,25 @@ def test_autothrottle_trace_equality(spark, tmp_path):
     # throttling engaged: the ordering differs from the unthrottled run
     base = run_oracle(CFG, SEEDS, CrawlPolicy(quota_per_host=3))
     assert orc.trace != base.trace
+
+
+def test_scale_paths_trace_equality(spark, tmp_path):
+    """Force the at-scale physical paths on the small corpus: salted
+    two-phase politeness pre-filter (salt_threshold=0) AND the two-phase
+    range-sort sequence assignment (seq_singlepart_threshold=0). Both
+    must be semantics-identical to the small-batch paths — engine trace
+    and seen set still equal the oracle exactly. (The default thresholds
+    mean pytest otherwise never executes these operators; the 10^6-URL
+    scaling runs do, but only hash-compare against themselves.)"""
+    pol = CrawlPolicy(salt_threshold=0, seq_singlepart_threshold=0)
+    d = str(tmp_path / "scale_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    eng = run_crawl(spark, CFG, SEEDS, robots, d, pol)
+    orc = run_oracle(CFG, SEEDS, CrawlPolicy())  # thresholds are physical-only
+    assert _engine_trace(spark, eng) == sorted(
+        orc.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in eng.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == orc.seen
