@@ -195,3 +195,24 @@ def test_scale_paths_trace_equality(spark, tmp_path):
     for r in eng.seen(spark).collect():
         seen.setdefault(r.crawl_id, set()).add(r.url_norm)
     assert seen == orc.seen
+
+
+def test_sparse_checkpoint_bloom_off_resume(spark, tmp_path, oracle_result):
+    """checkpoint_every=3 (sparse frontier/state commits) with the bloom
+    pre-filter disabled (plain seen anti-join), killed at batch 4 and
+    resumed: final trace + seen set still equal the oracle. Exercises two
+    otherwise-untested paths: the non-bloom admission join and resume
+    from a sparse commit schedule."""
+    pol = CrawlPolicy(checkpoint_every=3, use_bloom=False)
+    d = str(tmp_path / "sparse_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    partial = run_crawl(spark, CFG, SEEDS, robots, d, pol, stop_after_batch=4)
+    assert partial.last_batch == 4
+    res = run_crawl(spark, CFG, SEEDS, robots, d, pol, resume=True)
+    assert _engine_trace(spark, res) == sorted(
+        oracle_result.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in res.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle_result.seen
