@@ -32,9 +32,13 @@ BENCH_QUERIES = [
     "batch_dedup_stable",
     "dedup_exact",
     "minhash_near_dup",
+    "ngram_jaccard",
     "token_counts",
     "quality_scores",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "near_dup_cross_check",
+    "span_extraction",
     "events_daily_rollup",
 ]
 
