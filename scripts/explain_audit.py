@@ -33,6 +33,9 @@ AUDITS = {
     # IVF: centroid assignment and probe join must both be broadcasts —
     # the corpus is never shuffled for assignment
     "ann_ivf_topk": ["BroadcastHashJoin"],
+    # cross-modal check: the candidate-pair side must broadcast into the
+    # embeddings joins (the corpus is never shuffled)
+    "near_dup_cross_check": ["BroadcastHashJoin"],
     # the candidates→shingles join shape (VERDICT r1 #9) is asserted
     # precisely in tests/test_pipelines.py::test_ngram_plan_shape (with
     # explicit candidates the correct plan has ZERO semi-joins; the old
