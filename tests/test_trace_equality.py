@@ -216,3 +216,16 @@ def test_sparse_checkpoint_bloom_off_resume(spark, tmp_path, oracle_result):
     for r in res.seen(spark).collect():
         seen.setdefault(r.crawl_id, set()).add(r.url_norm)
     assert seen == oracle_result.seen
+
+
+def test_dirty_checkpoint_refused(spark, tmp_path):
+    """Re-running a crawl into a checkpoint that already has committed
+    state without resume=True must fail loudly (never silently clobber
+    or double-crawl)."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "dirty_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    run_crawl(spark, CFG, SEEDS, robots, d, POLICY, stop_after_batch=1)
+    with _pytest.raises(ValueError, match="already has state"):
+        run_crawl(spark, CFG, SEEDS, robots, d, POLICY)
