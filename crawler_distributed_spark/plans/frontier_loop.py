@@ -286,7 +286,20 @@ def run_crawl(
     else:
         manifest = store.read_manifest(last)
         next_seq = manifest["next_seq"]
-        frontier = store.read_table(spark, last, "frontier")
+        frontier = store.read_frontier(spark, last, _FRONTIER_COLS)
+        # delta replay records schedules/additions, not finished-crawl
+        # purges; apply the purge once with the committed budget (budgets
+        # are monotone — a finished crawl never un-finishes, so purging
+        # at resume equals purging every batch)
+        _active = (
+            store.read_table(spark, last, "budget")
+            .where(
+                (F.col("pages") < F.col("max_pages"))
+                & (F.col("failed") < F.lit(policy.max_failed_pages))
+            )
+            .select("crawl_id")
+        )
+        frontier = frontier.join(F.broadcast(_active), "crawl_id", "left_semi")
 
     crawls = _crawl_dim(spark, seeds).cache()
     # per-crawl budget lives as a Spark state table, not a driver dict —
@@ -649,6 +662,34 @@ def run_crawl(
             n_admitted = int(em["n_new"] or 0)
         next_seq += n_admitted
 
+        # durable frontier DELTA — O(batch), written every batch: the
+        # scheduled seqs leave ('rm', from the materialized fetched
+        # table), retries + new admissions enter ('add'). Full O(frontier)
+        # snapshots happen only every frontier_snapshot_every batches;
+        # storage.read_frontier replays deltas over the newest snapshot
+        # (the Iceberg MERGE equivalent — at a 10^10-row frontier the
+        # per-batch durable cost must not be O(frontier))
+        with _timed("frontier delta write"):
+            _ftypes = {f.name: f.dataType for f in frontier.schema.fields}
+            add_rows = retries.unionByName(
+                _finish_frontier_rows(queued_new).select(*_FRONTIER_COLS)
+            ).withColumn("_op", F.lit("add"))
+            rm_rows = fetched.select(
+                *[
+                    F.col(c)
+                    if c == "discovery_seq"
+                    else F.lit(None).cast(_ftypes[c]).alias(c)
+                    for c in _FRONTIER_COLS
+                ]
+            ).withColumn("_op", F.lit("rm"))
+            store.write_table(
+                rm_rows.unionByName(add_rows).withColumn(
+                    "_b", F.lit(batch).cast("long")
+                ),
+                batch,
+                "frontier_delta",
+            )
+
         # --- per-partition lineage (north rule)
         lineage = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -704,7 +745,8 @@ def run_crawl(
             or (stop_after_batch is not None and batch >= stop_after_batch)
         )
         if durable:
-            store.write_table(frontier, batch, "frontier")
+            if batch % policy.frontier_snapshot_every == 0:
+                store.write_table(frontier, batch, "frontier")
             store.write_table(budget_state, batch, "budget")
             store.write_table(strat_state, batch, "strategy")
             if policy.autothrottle:

@@ -78,6 +78,13 @@ class CrawlPolicy:
                                   # hash-spread seen table every N committed
                                   # batches; keeps the per-batch anti-join read
                                   # O(N/compact) files instead of O(#batches)
+    frontier_snapshot_every: int = 8  # full frontier parquet snapshot every N
+                                      # batches; other batches persist an
+                                      # O(batch) delta (rm'd seqs + added rows)
+                                      # and resume replays deltas over the
+                                      # newest snapshot — the durable frontier
+                                      # cost is O(batch), not O(frontier),
+                                      # per batch (10^10-frontier north rule)
     seq_singlepart_threshold: int = 20_000  # scheduled rows below which
                                             # discovery_seq stamping uses one
                                             # global window (no range-sample /

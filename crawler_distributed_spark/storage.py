@@ -12,8 +12,10 @@ committed batch and reloads exactly that state. Append-only tables (seen
 deltas, trace, lineage, docs) are written once per batch and read as a
 union of committed batch dirs — no rewrite, which is what keeps the seen
 set O(delta) per batch instead of O(10^10). The mutable frontier is
-rewritten per batch (the Iceberg path would MERGE instead; swap point is
-this module only).
+log-structured the same way: O(batch) rm/add deltas every batch, a full
+snapshot only every frontier_snapshot_every batches, replayed by
+read_frontier() on resume (the Iceberg path would MERGE instead; swap
+point is this module only).
 """
 
 from __future__ import annotations
@@ -89,6 +91,66 @@ class BatchStore:
                 k = int(name.split("=", 1)[1])
                 if last is None or k > last:
                     shutil.rmtree(os.path.join(self.compacted_dir(), name), ignore_errors=True)
+
+    # --- log-structured frontier ---------------------------------------------
+    # The frontier is the one mutable table; rewriting it durably every
+    # batch is O(frontier) I/O per batch (fatal at a 10^10-URL frontier).
+    # Instead: a full snapshot every policy.frontier_snapshot_every
+    # batches, and an O(batch) "frontier_delta" every batch (op='rm' rows
+    # carry the scheduled discovery_seqs; op='add' rows carry retries +
+    # newly admitted rows). read_frontier() reconstructs the state at any
+    # committed batch by last-writer-wins resolution over (snapshot ∪
+    # adds) vs removals — the Iceberg MERGE equivalent, one groupBy at
+    # resume time only.
+
+    def latest_frontier_snapshot(self, upto_batch: int) -> int | None:
+        for k in range(upto_batch, -2, -1):
+            if os.path.isdir(self.table_path(k, "frontier")):
+                return k
+        return None
+
+    def read_frontier(
+        self, spark: SparkSession, upto_batch: int, frontier_cols: list[str]
+    ) -> DataFrame:
+        """Frontier state as of committed batch ``upto_batch``: newest
+        snapshot plus delta replay. A seq is present iff its latest add
+        (snapshot counts as an add at the snapshot batch) is not
+        superseded by a later removal; a removal and re-add in the same
+        batch is a retry and the add wins (the schedule precedes the
+        re-queue within a batch)."""
+        from pyspark.sql import functions as _F
+
+        s0 = self.latest_frontier_snapshot(upto_batch)
+        if s0 is None:
+            raise ValueError(f"no frontier snapshot at or below {upto_batch}")
+        snap = spark.read.parquet(self.table_path(s0, "frontier")).select(
+            *frontier_cols
+        )
+        delta_paths = [
+            self.table_path(k, "frontier_delta")
+            for k in range(s0 + 1, upto_batch + 1)
+            if os.path.isdir(self.table_path(k, "frontier_delta"))
+        ]
+        if not delta_paths:
+            return snap
+        d = spark.read.parquet(*delta_paths)
+        adds = snap.withColumn("_b", _F.lit(s0).cast("long")).unionByName(
+            d.where(_F.col("_op") == "add").select(*frontier_cols, "_b")
+        )
+        payload = [c for c in frontier_cols if c != "discovery_seq"]
+        last_add = adds.groupBy("discovery_seq").agg(
+            _F.max_by(_F.struct(*payload, "_b"), _F.col("_b")).alias("_w")
+        ).select("discovery_seq", "_w.*")
+        rm = (
+            d.where(_F.col("_op") == "rm")
+            .groupBy("discovery_seq")
+            .agg(_F.max("_b").alias("_rmb"))
+        )
+        return (
+            last_add.join(rm, "discovery_seq", "left")
+            .where(_F.col("_rmb").isNull() | (_F.col("_rmb") <= _F.col("_b")))
+            .select(*frontier_cols)
+        )
 
     # --- seen-set compaction -------------------------------------------------
     # The admission anti-join probes the union of per-batch `admitted`

@@ -229,3 +229,30 @@ def test_dirty_checkpoint_refused(spark, tmp_path):
     run_crawl(spark, CFG, SEEDS, robots, d, POLICY, stop_after_batch=1)
     with _pytest.raises(ValueError, match="already has state"):
         run_crawl(spark, CFG, SEEDS, robots, d, POLICY)
+
+
+def test_resume_from_pure_delta_replay(spark, tmp_path, oracle_result):
+    """frontier_snapshot_every huge -> after init (-1) no snapshot is ever
+    written mid-run; a kill at batch 2 forces resume to reconstruct the
+    frontier purely by replaying delta files (including retry rows that
+    were removed and re-added with bumped attempts). Final state must
+    still equal the oracle exactly. (stop_after_batch must name an
+    EXECUTED batch — empty backoff-gap batches skip the stop check.)"""
+    pol = CrawlPolicy(frontier_snapshot_every=10_000)
+    d = str(tmp_path / "delta_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    partial = run_crawl(spark, CFG, SEEDS, robots, d, pol, stop_after_batch=2)
+    assert partial.last_batch == 2
+    import os
+
+    assert not os.path.isdir(
+        os.path.join(d, "batches", "batch=2", "frontier")
+    ), "no snapshot expected at the kill batch"
+    res = run_crawl(spark, CFG, SEEDS, robots, d, pol, resume=True)
+    assert _engine_trace(spark, res) == sorted(
+        oracle_result.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in res.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == oracle_result.seen
