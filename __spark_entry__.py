@@ -476,6 +476,26 @@ def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("simhash")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming radius 3 over 32-bit portable
+    signatures: pigeonhole banding (4 disjoint 8-bit sub-keys — any-band
+    equality is a provable superset of radius<=3) + exact popcount verify.
+    The DuckDB oracle recomputes signatures, banding and bit_count."""
+    from crawler_distributed_spark.pipelines.dedup import simhash_near_dup_pairs
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        simhash_near_dup_pairs(
+            d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+            bits=32,
+            radius=3,
+            portable=True,
+        )
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _LSH_TOPK_BITS = 8
 _NEAR_DUP_BITS = 6
 _NEAR_DUP_BANDS = 2
@@ -659,6 +679,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode over codec-free binary payloads: the engine
+    byte-parses BMP/PPM images and PCM WAV audio (numpy kernel,
+    pipelines/multimodal.py) while the DuckDB oracle recomputes every
+    feature from the corpus' generative formulas in closed form — the
+    encoder and decoder must agree bit-for-bit through float32. png/mp4
+    rows stay on the declared md5-fake path with decode_ok=0."""
+    from crawler_distributed_spark.pipelines.multimodal import (
+        extract_features,
+        synth_media_docs_real,
+    )
+
+    media = synth_media_docs_real(spark, n=60)
+    feats = extract_features(media, dims=8, real_decode=True)
+    per_dim = [
+        F.round(F.col("feature").getItem(k).cast("double"), 4).alias(f"f{k}")
+        for k in range(8)
+    ]
+    return feats.select(
+        "media_id", F.col("decode_ok").cast("int").alias("decode_ok"), *per_dim
+    ).orderBy("media_id")
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over documents. Portable
     phash60 signature/band hashing so the DuckDB oracle replicates the
@@ -731,12 +774,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dup_groups": q_simhash_dup_groups,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "near_dup_cross_check": q_near_dup_cross_check,
         "embedding_near_dup": q_embedding_near_dup,
         "span_extraction": q_span_extraction,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
     }
 
 
@@ -817,6 +862,19 @@ def _sig_sql(emb: str, plane_indices: list[int], dim: int = _EMB_DIM) -> str:
         )
         terms.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_sums_sql(dim: int) -> str:
+    """Per-dim integer cell sums for the IVF Lloyd step — exact,
+    addition-order-independent twins of pipelines/similarity.py."""
+    return ", ".join(
+        f"sum(floor(embedding[{d + 1}]::DOUBLE * 1000)::BIGINT) AS s{d}"
+        for d in range(dim)
+    )
+
+
+def _ivf_lvec_sql(dim: int) -> str:
+    return "[" + ", ".join(f"floor(s{d} / n)::DOUBLE" for d in range(dim)) + "]"
 
 
 def _multimodal_feat_sql(dims: int = 8) -> str:
@@ -1032,6 +1090,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sig GROUP BY simhash HAVING count(*) > 1
             ORDER BY simhash
         """,
+        "simhash_near_dup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+              FROM documents),
+            hh AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                   FROM toks),
+            votes AS (
+              SELECT doc_id, i.i AS i,
+                     sum(CASE WHEN (h >> i.i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hh CROSS JOIN range(32) i(i)
+              GROUP BY doc_id, i.i),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, simhash, k.k AS band_id,
+                     (simhash >> (k.k*8)::INT) & 255 AS key
+              FROM sig CROSS JOIN range(4) k(k)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.key = b.key
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming FROM cand
+            WHERE hamming <= 3 ORDER BY doc_a, doc_b
+        """,
         "minhash_near_dup": f"""
             WITH {_MINHASH_CTES}
             SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
@@ -1081,11 +1168,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "ann_ivf_topk": f"""
-            WITH cent AS (
-              SELECT vec_id AS cent_id, embedding AS cvec
+            WITH cent0 AS (
+              SELECT vec_id AS cent_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS cvec
               FROM embeddings
               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
               LIMIT 16),
+            a0 AS (
+              SELECT embedding, cent_id FROM (
+                SELECT e.embedding, e.vec_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                    c.cent_id) AS rn
+                FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+            cells AS (
+              SELECT cent_id, count(*) AS n, {_ivf_sums_sql(_EMB_DIM)}
+              FROM a0 GROUP BY cent_id),
+            lloyd AS (SELECT cent_id, {_ivf_lvec_sql(_EMB_DIM)} AS lvec FROM cells),
+            cent AS (
+              SELECT c.cent_id, coalesce(l.lvec, c.cvec) AS cvec
+              FROM cent0 c LEFT JOIN lloyd l ON l.cent_id = c.cent_id),
             assigned AS (
               SELECT vec_id, embedding, cent_id FROM (
                 SELECT e.vec_id, e.embedding, c.cent_id,
@@ -1139,6 +1241,65 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT media_id, {_multimodal_feat_sql(8)} AS feat_sum
             FROM h ORDER BY media_id
+        """,
+        # multimodal_real_decode: closed-form recomputation of the real
+        # decode features from synth_media_docs_real's generative formulas
+        # — the Spark side actually byte-parses the BMP/PPM/WAV payloads,
+        # so any encoder/decoder disagreement hash-fails here. Every dim is
+        # quantized through FLOAT4 (the engine stores float32).
+        "multimodal_real_decode": """
+            WITH m AS (SELECT i, i % 5 AS fmt, printf('m%05d', i) AS media_id
+                       FROM range(60) t(i)),
+            imgf AS (
+              SELECT media_id, 1 AS decode_ok,
+                     1.0 AS g0,
+                     (8 + (i%3)*4)::DOUBLE AS g1,
+                     (6 + (i%4)*3)::DOUBLE AS g2,
+                     (SELECT avg((7*i+y) % 256) FROM range(15) s(y) WHERE y < 6 + (i%4)*3) / 255.0 AS g3,
+                     (SELECT avg((7*i+y+40) % 256) FROM range(15) s(y) WHERE y < 6 + (i%4)*3) / 255.0 AS g4,
+                     (SELECT avg((7*i+y+80) % 256) FROM range(15) s(y) WHERE y < 6 + (i%4)*3) / 255.0 AS g5,
+                     (8 + (i%3)*4)::DOUBLE / (6 + (i%4)*3) AS g6,
+                     0.0 AS g7
+              FROM m WHERE fmt IN (0, 1)),
+            wavf AS (
+              SELECT media_id, 1 AS decode_ok,
+                     2.0 AS g0,
+                     (200 + (i%7)*40)::DOUBLE AS g1,
+                     8.0 AS g2,
+                     (SELECT sqrt(avg(((13*i + 37*y) % 4001 - 2000)::DOUBLE
+                                      * ((13*i + 37*y) % 4001 - 2000)))
+                      FROM range(440) s(y) WHERE y < 200 + (i%7)*40) / 2048.0 AS g3,
+                     (SELECT avg(((13*i + 37*y) % 4001 - 2000)::DOUBLE)
+                      FROM range(440) s(y) WHERE y < 200 + (i%7)*40) / 2048.0 AS g4,
+                     (SELECT max(abs((13*i + 37*y) % 4001 - 2000))::DOUBLE
+                      FROM range(440) s(y) WHERE y < 200 + (i%7)*40) / 2048.0 AS g5,
+                     (200 + (i%7)*40)::DOUBLE / 8000.0 AS g6,
+                     0.0 AS g7
+              FROM m WHERE fmt = 2),
+            fakes AS (
+              SELECT media_id,
+                     ('0x' || substr(md5(repeat('media-' || i::VARCHAR,
+                                                (4 + (i%7))::INT)), 1, 15))::BIGINT AS b
+              FROM m WHERE fmt IN (3, 4)),
+            fakef AS (
+              SELECT media_id, 0 AS decode_ok,
+                     ((b >> 0) & 255) / 255.0 AS g0,  ((b >> 3) & 255) / 255.0 AS g1,
+                     ((b >> 6) & 255) / 255.0 AS g2,  ((b >> 9) & 255) / 255.0 AS g3,
+                     ((b >> 12) & 255) / 255.0 AS g4, ((b >> 15) & 255) / 255.0 AS g5,
+                     ((b >> 18) & 255) / 255.0 AS g6, ((b >> 21) & 255) / 255.0 AS g7
+              FROM fakes),
+            u AS (SELECT * FROM imgf UNION ALL SELECT * FROM wavf
+                  UNION ALL SELECT * FROM fakef)
+            SELECT media_id, decode_ok,
+                   round(CAST(CAST(g0 AS FLOAT) AS DOUBLE), 4) AS f0,
+                   round(CAST(CAST(g1 AS FLOAT) AS DOUBLE), 4) AS f1,
+                   round(CAST(CAST(g2 AS FLOAT) AS DOUBLE), 4) AS f2,
+                   round(CAST(CAST(g3 AS FLOAT) AS DOUBLE), 4) AS f3,
+                   round(CAST(CAST(g4 AS FLOAT) AS DOUBLE), 4) AS f4,
+                   round(CAST(CAST(g5 AS FLOAT) AS DOUBLE), 4) AS f5,
+                   round(CAST(CAST(g6 AS FLOAT) AS DOUBLE), 4) AS f6,
+                   round(CAST(CAST(g7 AS FLOAT) AS DOUBLE), 4) AS f7
+            FROM u ORDER BY media_id
         """,
         # crawl_trace_synthetic: the SQL side reads the PURE-PYTHON oracle's
         # trace (independent implementation of the reference crawl

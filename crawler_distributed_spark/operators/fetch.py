@@ -44,9 +44,12 @@ _RAW_FIELDS = [
     T.StructField("hdr_keys", T.ArrayType(T.StringType()), False),
     T.StructField("hdr_vals", T.ArrayType(T.ArrayType(T.StringType())), False),
     # sitemap-entry metadata (S6): filled when the fetched URL is a
-    # sitemap — the served XML is parsed right here (functions/sitemaps);
-    # <sitemapindex> roots recurse through their Q4-filtered children
-    # in-fetch with the max_pages early break (domain_spider.py:326-354)
+    # urlset sitemap (root or child) — the served XML is parsed right here
+    # (functions/sitemaps); <sitemapindex> roots do NOT recurse in-task:
+    # their Q4-filtered children surface via `discovered` as control
+    # frontier rows, so a 10^3-child index fans out across tasks instead
+    # of pinning one (deterministic substitution for the reference's
+    # serial child loop, sitemap_utils.py:222-307 — see oracle.py twin)
     T.StructField("sm_url", T.ArrayType(T.StringType()), False),
     T.StructField("sm_lastmod", T.ArrayType(T.StringType()), False),
     T.StructField("sm_priority", T.ArrayType(T.DoubleType()), False),
@@ -115,6 +118,7 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                 ctypes[i] = ct
                 if (
                     synth.is_sitemap_url(cfg, u) is not None
+                    or synth.is_child_sitemap_url(cfg, u) is not None
                     or synth.is_robots_url(cfg, u) is not None
                 ):
                     doc_class[i] = "control"
@@ -141,31 +145,26 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
                     refs[i] = [s[2] for s in spans]
                     offsets[i] = [s[3] for s in spans]
                 elif st == 200 and ct == "application/xml":
-                    j = synth.is_sitemap_url(cfg, u)
-                    if j is not None:
-                        parsed = parse_sitemap_xml(synth.sitemap_xml(cfg, j))
-                        entries = parsed["entries"]
+                    xml = synth.sitemap_xml_at(cfg, u)
+                    if xml is not None:
+                        parsed = parse_sitemap_xml(xml)
                         if parsed["is_index"]:
                             # Q4: page-class children first, 'other' after,
-                            # non-page dropped; fetch children in that
-                            # order, stop once >= max_pages accumulated
+                            # non-page dropped — emitted as CONTROL rows
+                            # (the `discovered` admission path), fetched
+                            # next batch in link_idx order; capped at
+                            # max_pages children (every child carries ≥1
+                            # entry, the max_pages-early-break analog)
                             children, _ = filter_page_sitemaps(
                                 parsed["child_sitemaps"]
                             )
-                            entries = []
-                            for cu in children:
-                                cp = parse_sitemap_xml(
-                                    synth.sitemap_xml_child(
-                                        cfg, j, cu.rsplit("/", 1)[1]
-                                    )
-                                )
-                                entries.extend(cp["entries"])
-                                if len(entries) >= mp_col[i]:
-                                    break
-                        sm_url[i] = [e["url"] for e in entries]
-                        sm_lastmod[i] = [e["lastmod"] for e in entries]
-                        sm_prio[i] = [e["priority"] for e in entries]
-                        sm_freq[i] = [e["changefreq"] for e in entries]
+                            discovered[i] = children[: mp_col[i]]
+                        else:
+                            entries = parsed["entries"]
+                            sm_url[i] = [e["url"] for e in entries]
+                            sm_lastmod[i] = [e["lastmod"] for e in entries]
+                            sm_prio[i] = [e["priority"] for e in entries]
+                            sm_freq[i] = [e["changefreq"] for e in entries]
                 elif st == 200 and ct == "text/plain":
                     j = synth.is_robots_url(cfg, u)
                     if j is not None:

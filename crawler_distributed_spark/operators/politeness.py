@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..policy import CrawlPolicy
+from .sequence import with_sequence
 
 _SORT_COLS = ["depth", "priority_score", "discovery_seq"]
 _SORT_ASC = [True, False, True]
@@ -110,13 +111,46 @@ def select_fetch_batch(
     else:
         phase2 = ranked.where(F.col("_rn") <= policy.quota_per_host).drop("_rn")
 
-    crawl_w = Window.partitionBy("crawl_id").orderBy(
-        F.col("depth").asc(), F.col("priority_score").desc(), F.col("discovery_seq").asc()
-    )
-    scheduled = (
-        phase2.join(F.broadcast(budgets), "crawl_id")
-        .withColumn("seq_in_batch", F.row_number().over(crawl_w))
-        .where(F.col("seq_in_batch") <= F.col("remaining"))
-        .drop("remaining")
-    )
+    # --- seq_in_batch stamp + per-crawl budget cap.
+    # The naive form is a row_number window partitioned by crawl_id — with
+    # ONE active crawl (the north rule's 10^10-frontier shape) that sorts
+    # the ENTIRE scheduled batch through one task. Above
+    # ``seq_singlepart_threshold`` we instead reuse the two-phase
+    # range-sort machinery from operators/sequence.py: one range exchange
+    # ordered by (crawl_id, depth, -priority, discovery_seq) stamps a
+    # GLOBAL consecutive sequence (no single-partition stage), and the
+    # per-crawl 1-based rank falls out by subtracting each crawl's
+    # minimum global seq (a tiny map-side-partial agg, one row per crawl,
+    # broadcast back). Because the range sort leads with crawl_id, every
+    # crawl's rows are consecutive in the global order, so
+    # gseq - min(gseq per crawl) + 1 IS row_number over the per-crawl
+    # window — same (depth, -priority, seq) order, bit-identical trace.
+    budgeted = phase2.join(F.broadcast(budgets), "crawl_id")
+    if n_eligible is not None and n_eligible <= policy.seq_singlepart_threshold:
+        crawl_w = Window.partitionBy("crawl_id").orderBy(
+            F.col("depth").asc(),
+            F.col("priority_score").desc(),
+            F.col("discovery_seq").asc(),
+        )
+        scheduled = (
+            budgeted.withColumn("seq_in_batch", F.row_number().over(crawl_w))
+            .where(F.col("seq_in_batch") <= F.col("remaining"))
+            .drop("remaining")
+        )
+    else:
+        stamped, _n = with_sequence(
+            budgeted.withColumn("_negp", -F.col("priority_score")),
+            ["crawl_id", "depth", "_negp", "discovery_seq"],
+            seq_col="_gseq",
+        )
+        starts = stamped.groupBy("crawl_id").agg(F.min("_gseq").alias("_start"))
+        scheduled = (
+            stamped.join(F.broadcast(starts), "crawl_id")
+            .withColumn(
+                "seq_in_batch",
+                (F.col("_gseq") - F.col("_start") + F.lit(1)).cast("int"),
+            )
+            .where(F.col("seq_in_batch") <= F.col("remaining"))
+            .drop("remaining", "_negp", "_gseq", "_start")
+        )
     return scheduled

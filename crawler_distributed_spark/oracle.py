@@ -95,6 +95,9 @@ def run_oracle(
     pages: dict[str, int] = {}
     failed: dict[str, int] = {}
     max_pages: dict[str, int] = {}
+    # Q6 per-crawl batch cap (CLOSESPIDER_TIMEOUT analog): per-seed
+    # "max_batches", else policy.max_batches_per_crawl, else unbounded
+    batch_cap: dict[str, int] = {}
     allowed: dict[str, tuple[str, str]] = {}
     # P6 escalation state: (crawl_id, host) -> count of all-fail batches;
     # effective fetch level = min(2, count) ∨ entry.forced_strategy
@@ -114,6 +117,10 @@ def run_oracle(
         pages[cid] = 0
         failed[cid] = 0
         max_pages[cid] = s["max_pages"]
+        cap = s.get("max_batches")
+        if cap is None:
+            cap = policy.max_batches_per_crawl
+        batch_cap[cid] = cap if cap is not None else (1 << 30)
         dom = s["domain"]
         allowed[cid] = (
             (dom, dom[4:]) if dom.startswith("www.") else (dom, f"www.{dom}")
@@ -137,7 +144,9 @@ def run_oracle(
         active = {
             c
             for c in pages
-            if pages[c] < max_pages[c] and failed[c] < policy.max_failed_pages
+            if pages[c] < max_pages[c]
+            and failed[c] < policy.max_failed_pages
+            and batch < batch_cap[c]
         }
         eligible = [
             e for e in queued if e.crawl_id in active and e.not_before_batch <= batch
@@ -197,15 +206,41 @@ def run_oracle(
                 failed[e.crawl_id] += 1
             ct = synth.content_type_of(cfg, e.url_norm)
             sm_host = synth.is_sitemap_url(cfg, e.url_norm)
+            sm_child = synth.is_child_sitemap_url(cfg, e.url_norm)
             rb_host = synth.is_robots_url(cfg, e.url_norm)
-            if st == 200 and sm_host is not None:
-                # sitemap: aggregate entries (index hosts recurse through
-                # Q4-filtered children with the max_pages early break —
-                # synth.aggregated_sitemap_entries), score with the frozen
-                # clock, rank, truncate to max_pages (sitemap_utils.py:
-                # 374-433; domain_spider.py:326-354)
+            if (
+                st == 200
+                and sm_host is not None
+                and synth.sitemap_layout(cfg, sm_host) == "index"
+            ):
+                # <sitemapindex> root: Q4-filter the children (page-class
+                # first, 'other' after, non-page dropped) and admit them as
+                # CONTROL URLs fetched in later batches — the engine's
+                # `discovered` fan-out (operators/fetch.py), replacing the
+                # reference's serial in-fetch child loop
+                # (sitemap_utils.py:222-307) with a deterministic
+                # batch-parallel twin; capped at max_pages children (every
+                # child carries ≥1 entry — the max_pages early break)
+                from .functions.sitemaps import filter_page_sitemaps
+
+                children, _ = filter_page_sitemaps(
+                    synth.child_sitemap_urls(cfg, sm_host)
+                )
+                for idx, cu in enumerate(children[: max_pages[e.crawl_id]]):
+                    admissions.append(
+                        (e.discovery_seq, idx, e.crawl_id, cu, e.depth + 1, 0.0, True)
+                    )
+            elif st == 200 and (sm_host is not None or sm_child is not None):
+                # urlset sitemap (flat root, or an index's child): score
+                # with the frozen clock, rank, truncate to max_pages
+                # (sitemap_utils.py:374-433)
                 from .functions.sitemaps import sitemap_score_py
 
+                entries = (
+                    synth.sitemap_entries(cfg, sm_host)
+                    if sm_host is not None
+                    else synth.child_sitemap_entries(cfg, sm_child[0], sm_child[1])
+                )
                 scored = [
                     (
                         sitemap_score_py(
@@ -214,9 +249,7 @@ def run_oracle(
                         ),
                         en["url"],
                     )
-                    for en in synth.aggregated_sitemap_entries(
-                        cfg, sm_host, max_pages[e.crawl_id]
-                    )
+                    for en in entries
                 ]
                 scored.sort(key=lambda t: (-t[0], t[1]))
                 for idx, (score, raw) in enumerate(scored[: max_pages[e.crawl_id]]):
@@ -287,7 +320,11 @@ def run_oracle(
         admissions.sort(key=lambda a: (a[0], a[1]))
         admitted_in_batch: set[tuple] = set()
         for parent_seq, idx, cid, raw, depth, prio, control in admissions:
-            if pages[cid] >= max_pages[cid] or failed[cid] >= policy.max_failed_pages:
+            if (
+                pages[cid] >= max_pages[cid]
+                or failed[cid] >= policy.max_failed_pages
+                or batch >= batch_cap[cid]
+            ):
                 continue
             if not _admissible(raw, allowed[cid], control):
                 continue

@@ -218,6 +218,70 @@ def simhash_dup_groups(
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    radius: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius > 0 (VERDICT r2 #6).
+
+    Pigeonhole banding: split the b-bit signature into ``radius+1``
+    disjoint bands — two signatures within Hamming distance ``radius``
+    MUST agree exactly on at least one band (at most ``radius`` bands can
+    contain a differing bit). Candidates are any-band-equal pairs (an
+    exact-equality self-join per band, never all-pairs); each candidate
+    is verified with ``bit_count(sig_a XOR sig_b) <= radius``. The band
+    shuffle carries only (id, 8-byte sig, band key). Output
+    (doc_a, doc_b, hamming), doc_a < doc_b — exact (recall 1.0 within
+    the radius) because the banding is a superset by pigeonhole."""
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    sig = simhash_signatures(docs, id_col, text_col, bits, portable)
+    n_bands = radius + 1
+    width = -(-bits // n_bands)  # ceil
+    band_cols = []
+    for k in range(n_bands):
+        lo = k * width
+        w = min(width, bits - lo)
+        if w <= 0:
+            break
+        mask = (1 << w) - 1
+        band_cols.append(
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("key"),
+            )
+        )
+    banded = sig.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "simhash", "b.band_id", "b.key")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_id", "key",
+    )
+    return (
+        a.join(b, ["band_id", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= radius)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,11 +1,13 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + real decode kernels.
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
-decode/feature-extraction runs as Arrow-batched ``mapInPandas`` so the
-Spark-side shape (schema, partitioning, batch signature) is real and
-tested even though the actual codecs are NOT in this container — the
-decode kernel is stubbed behind a deterministic fake (and raises
-NotImplementedError when a real decode is requested).
+decode/feature-extraction runs as Arrow-batched ``mapInPandas``. The
+decode kernel is REAL for the codec-free container formats — BMP and PPM
+images and PCM WAV audio are parsed from raw bytes with struct + numpy
+(header decode, pixel/sample extraction, channel means / RMS features).
+Formats that need external codec libraries (png via PIL, mp4 via ffmpeg
+— neither in this container) fall back to a deterministic md5 fake and
+are flagged ``decode_ok=False``.
 
 At 100 TB the rules encoded here are: media bytes travel in their own
 column (never exploded per-frame into rows until after sampling), the
@@ -51,6 +53,167 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg are not in this container
+# codec-free formats the numpy kernel decodes for real (header parse +
+# frombuffer — no external library)
+NUMPY_DECODABLE = frozenset({"bmp", "ppm", "wav"})
+
+
+# ---------------------------------------------------------------------------
+# codec-free encoders (synthetic corpus) + decoders (the real kernel)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb_rows: "list[list[tuple[int, int, int]]]") -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) — pure struct packing, no library."""
+    import struct
+
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    row_pad = (-(w * 3)) % 4
+    pixel_bytes = bytearray()
+    for row in reversed(rgb_rows):  # bottom-up storage order
+        for r, g, b in row:
+            pixel_bytes += bytes((b, g, r))  # BGR on disk
+        pixel_bytes += b"\x00" * row_pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(pixel_bytes)
+
+
+def decode_bmp(payload: bytes):
+    """Parse a 24-bit BMP → (w, h, float64 HxWx3 RGB array) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_offset + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+
+
+def encode_ppm(rgb_rows: "list[list[tuple[int, int, int]]]") -> bytes:
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    body = bytes(c for row in rgb_rows for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + body
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary P6 PPM → (w, h, float64 HxWx3 RGB array) or None."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5:
+        return None
+    try:
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    body = payload[len(payload) - w * h * 3:]
+    if len(body) != w * h * 3:
+        return None
+    return w, h, np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+
+
+def encode_wav(samples: "list[int]", sample_rate: int = 8000) -> bytes:
+    """Minimal mono 16-bit PCM WAV (RIFF + fmt + data chunks)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM16 mono WAV → (n_samples, sample_rate, float64 samples)
+    or None. Walks the RIFF chunk list (fmt may precede data at any
+    offset), no library."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None:
+        return None
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    return len(samples), sample_rate, samples
+
+
+def _real_decode_feature(payload: bytes | None, fmt: str | None, dims: int):
+    """Decode → fixed-width feature vector. Returns (features, decode_ok).
+
+    images (bmp/ppm): [1, w, h, meanR/255, meanG/255, meanB/255, w/h, 0...]
+    audio (wav):      [2, n, rate/1000, rms/2048, mean/2048, max|s|/2048,
+                       n/rate, 0...]
+    Unsupported format or parse failure → md5 fake, decode_ok=False."""
+    import math
+
+    decoded = None
+    if payload is not None and fmt in NUMPY_DECODABLE:
+        if fmt == "bmp":
+            decoded = decode_bmp(payload)
+        elif fmt == "ppm":
+            decoded = decode_ppm(payload)
+        elif fmt == "wav":
+            decoded = decode_wav(payload)
+    if decoded is None:
+        return _fake_decode_feature(payload, dims), False
+    if fmt in ("bmp", "ppm"):
+        w, h, px = decoded
+        means = px.mean(axis=(0, 1))  # per-channel, exact for ints < 2^53
+        feats = [1.0, float(w), float(h), means[0] / 255.0, means[1] / 255.0,
+                 means[2] / 255.0, w / h, 0.0]
+    else:
+        n, rate, s = decoded
+        rms = math.sqrt(float((s * s).sum()) / n) if n else 0.0
+        feats = [2.0, float(n), rate / 1000.0, rms / 2048.0,
+                 (float(s.sum()) / n if n else 0.0) / 2048.0,
+                 (float(abs(s).max()) if n else 0.0) / 2048.0, n / rate, 0.0]
+    feats = (feats + [0.0] * dims)[:dims]
+    return feats, True
 
 
 def _fake_decode_feature(payload: bytes | None, dims: int = 8) -> list[float]:
@@ -71,30 +234,36 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature pass over (media_id, payload, meta).
 
-    ``real_decode=True`` requires actual codec libraries and raises
-    NotImplementedError in this container — the stub keeps the Spark-side
-    plumbing (schema, repartition, batch shape) fully exercised."""
-    if real_decode and not REAL_CODECS_AVAILABLE:
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg which are not installed; "
-            "run with real_decode=False for the deterministic stub"
-        )
+    ``real_decode=True`` parses BMP/PPM/WAV payloads for real (numpy
+    header+body decode, per-channel means / RMS features; decode_ok=True);
+    formats needing PIL/ffmpeg (png, mp4 — not in this container) fall
+    back to the md5 fake with decode_ok=False. ``real_decode=False`` is
+    the pure deterministic stub for every row (decode_ok=True — the stub
+    IS the declared kernel there)."""
+    import numpy as np
+
     n_part = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # CPU-bound python stage: spread by id hash, not by byte size
-    media = media.repartition(n_part, F.xxhash64("media_id"))
+    media = media.withColumn("_fmt", F.col("meta.format")).repartition(
+        n_part, F.xxhash64("media_id")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_feature(p, dims)
-                for p in pdf["payload"].tolist()
-            ]
+            feats: list = []
+            oks: list = []
+            fmts = pdf["_fmt"].tolist()
+            for i, p in enumerate(pdf["payload"].tolist()):
+                if real_decode:
+                    f, ok = _real_decode_feature(p, fmts[i], dims)
+                else:
+                    f, ok = _fake_decode_feature(p, dims), True
+                # quantize through float32 HERE so the feature values the
+                # JVM receives equal what an oracle gets by CAST(x AS FLOAT)
+                feats.append(np.asarray(f, dtype=np.float32))
+                oks.append(ok)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "feature": feats,
-                    "decode_ok": [True] * len(pdf),
-                }
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
@@ -117,6 +286,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("sample_ms"),
         )
     )
+
+
+def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
+    """Synthetic media corpus with REAL codec-free payloads: valid BMP and
+    PPM images and PCM16 WAV audio built by the encoders above, plus fake
+    png/mp4 rows for the still-stubbed codec formats.
+
+    Generative formulas (the SQL oracle recomputes features from these in
+    closed form, so encoder and decoder cross-check each other):
+      format cycle  i%5 -> bmp, ppm, wav, png, mp4
+      image (bmp/ppm): w = 8+(i%3)*4, h = 6+(i%4)*3; every pixel of row y
+        has R=(7i+y)%256, G=(7i+y+40)%256, B=(7i+y+80)%256
+      audio (wav): rate=8000, n_s = 200+(i%7)*40, s[t] = ((13i+37t)%4001)-2000
+      png/mp4: payload = b"media-{i}" * (4+i%7)  (md5-fake feature path)
+    """
+    rows = []
+    for i in range(n):
+        fmt = ("bmp", "ppm", "wav", "png", "mp4")[i % 5]
+        w = h = dur = None
+        if fmt in ("bmp", "ppm"):
+            mt = "image"
+            w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 3
+            rgb = [
+                [((7 * i + y) % 256, (7 * i + y + 40) % 256, (7 * i + y + 80) % 256)] * w
+                for y in range(h)
+            ]
+            payload = encode_bmp(rgb) if fmt == "bmp" else encode_ppm(rgb)
+        elif fmt == "wav":
+            mt = "audio"
+            n_s = 200 + (i % 7) * 40
+            payload = encode_wav(
+                [((13 * i + 37 * t) % 4001) - 2000 for t in range(n_s)], 8000
+            )
+            dur = n_s * 1000 // 8000
+        else:
+            mt = "image" if fmt == "png" else "video"
+            payload = bytes(f"media-{i}", "utf-8") * (4 + i % 7)
+            if fmt == "mp4":
+                dur = 1000 * (1 + i % 10)
+        rows.append(
+            (
+                f"m{i:05d}",
+                payload,
+                {"media_type": mt, "format": fmt, "width": w, "height": h,
+                 "duration_ms": dur},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_DOC)
 
 
 def synth_media_docs(spark, n: int = 100) -> DataFrame:

@@ -253,8 +253,11 @@ def init_crawl(
     store.write_table(_finish_frontier_rows(queued), -1, "frontier")
     frontier = store.read_table(spark, -1, "frontier")
     budget = spark.createDataFrame(
-        [(s["crawl_id"], 0, 0, int(s["max_pages"])) for s in ordered],
-        "crawl_id string, pages int, failed int, max_pages int",
+        [
+            (s["crawl_id"], 0, 0, int(s["max_pages"]), s.get("max_batches"))
+            for s in ordered
+        ],
+        "crawl_id string, pages int, failed int, max_pages int, max_batches int",
     )
     store.write_table(budget, -1, "budget")
     store.commit(-1, {"next_seq": int(n_queued)})
@@ -276,6 +279,24 @@ def run_crawl(
     store = BatchStore(checkpoint_dir)
     store.rollback_uncommitted()
     last = store.last_committed()
+
+    # Q6 per-crawl batch budget (CLOSESPIDER_TIMEOUT analog): a crawl is
+    # active at batch b iff its page budget remains, its failure cap is
+    # unreached, AND b is below its batch cap (per-seed "max_batches",
+    # else policy.max_batches_per_crawl, else unbounded)
+    _default_cap = (
+        policy.max_batches_per_crawl
+        if policy.max_batches_per_crawl is not None
+        else (1 << 30)
+    )
+
+    def _active_pred(b: int):
+        return (
+            (F.col("pages") < F.col("max_pages"))
+            & (F.col("failed") < F.lit(policy.max_failed_pages))
+            & (F.lit(b) < F.coalesce(F.col("max_batches"), F.lit(_default_cap)))
+        )
+
     if not resume or last is None:
         if last is not None:
             raise ValueError(
@@ -293,10 +314,7 @@ def run_crawl(
         # at resume equals purging every batch)
         _active = (
             store.read_table(spark, last, "budget")
-            .where(
-                (F.col("pages") < F.col("max_pages"))
-                & (F.col("failed") < F.lit(policy.max_failed_pages))
-            )
+            .where(_active_pred(last + 1))
             .select("crawl_id")
         )
         frontier = frontier.join(F.broadcast(_active), "crawl_id", "left_semi")
@@ -357,10 +375,9 @@ def run_crawl(
     pending: tuple | None = None
     while batch < policy.max_batches:
         _bt0 = time.time()
-        budgets = budget_state.where(
-            (F.col("pages") < F.col("max_pages"))
-            & (F.col("failed") < F.lit(policy.max_failed_pages))
-        ).select("crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining"))
+        budgets = budget_state.where(_active_pred(batch)).select(
+            "crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining")
+        )
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
         if pending is None:
@@ -444,6 +461,7 @@ def run_crawl(
                     .cast("int")
                     .alias("failed"),
                     "max_pages",
+                    "max_batches",
                 )
             )
             budget_state = _maybe_ck(budget_state, batch)
@@ -568,10 +586,7 @@ def run_crawl(
         )
         # active-crawl restriction via broadcast semi-join on the budget
         # state (an isin() literal list would break the plan at 10^4+ crawls)
-        active_df = budget_state.where(
-            (F.col("pages") < F.col("max_pages"))
-            & (F.col("failed") < F.lit(policy.max_failed_pages))
-        ).select("crawl_id")
+        active_df = budget_state.where(_active_pred(batch)).select("crawl_id")
         candidates = (
             parsed.unionByName(redirected).unionByName(sm)
             .withColumn("is_control", F.lit(False))
@@ -625,10 +640,7 @@ def run_crawl(
         # un-finish, so those rows can never be scheduled again) and
         # carries the NEXT batch's eligibility aggregates as an
         # Observation — the per-batch count job folds into this one.
-        next_active = budget_state.where(
-            (F.col("pages") < F.col("max_pages"))
-            & (F.col("failed") < F.lit(policy.max_failed_pages))
-        ).select("crawl_id")
+        next_active = budget_state.where(_active_pred(batch + 1)).select("crawl_id")
         elig_obs = Observation(f"elig-{batch}")
         with _timed("frontier checkpoint"):
             frontier = (

@@ -94,6 +94,12 @@ class CrawlPolicy:
                                  # cumulative failed fetch attempts
                                  # (status>=400) reach this (MAX_FAILED_PAGES,
                                  # base_spider.py:232-243, settings.py:75-76)
+    max_batches_per_crawl: int | None = None  # Q6: per-crawl batch budget —
+                                 # the CLOSESPIDER_TIMEOUT=900 analog
+                                 # (settings.py:75-76) made deterministic:
+                                 # a crawl schedules/admits nothing from
+                                 # this batch index on (a seed may override
+                                 # with its own "max_batches"); None = no cap
     count_scheduled_in_budget: bool = False  # True: max_pages counts scheduled
                                              # fetches, not just successful html
                                              # pages (reference counts successes;

@@ -67,9 +67,31 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_windowexec(spark)
     if master and master.startswith("spark://"):
         spark.sparkContext.addPyFile(package_zip())
     return spark
+
+
+def _quiet_windowexec(spark: SparkSession) -> None:
+    """Silence WindowExec's no-partition warning.
+
+    The engine has exactly one deliberately-unpartitioned window: the
+    small-batch discovery_seq stamp (plans/frontier_loop.py), gated by
+    ``policy.seq_singlepart_threshold`` so at most 20k rows ever pass
+    through it — above that the two-phase range-sort path runs instead.
+    The warning is therefore always benign here, and it sprays log tails
+    until real regressions become invisible. Per-class suppression (not a
+    global level change) keeps every other WARN intact."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", level
+        )
+    except Exception:
+        pass  # log4j2 internals unavailable (e.g. connect mode) — cosmetic only
 
 
 def package_zip() -> str:

@@ -38,6 +38,10 @@ class SynthConfig:
     pages_base: int = 60
     hot_factor: int = 10
     branching: int = 8
+    # extra page-class child sitemaps per index host, on top of the four
+    # named ones — used to build wide <sitemapindex> roots (100+ children)
+    # for the bounded-per-task fetch tests
+    extra_page_children: int = 0
 
     def n_pages(self, j: int) -> int:
         return self.pages_base * (self.hot_factor if j == 0 else 1)
@@ -213,14 +217,21 @@ CHILD_SITEMAP_NAMES = (
 )
 
 
+def child_sitemap_names(cfg: SynthConfig) -> tuple[str, ...]:
+    return CHILD_SITEMAP_NAMES + tuple(
+        f"sitemap-pages-{k}.xml" for k in range(cfg.extra_page_children)
+    )
+
+
 def child_sitemap_urls(cfg: SynthConfig, j: int) -> list[str]:
-    return [f"https://{host_name(j)}/{n}" for n in CHILD_SITEMAP_NAMES]
+    return [f"https://{host_name(j)}/{n}" for n in child_sitemap_names(cfg)]
 
 
 def child_sitemap_entries(cfg: SynthConfig, j: int, name: str) -> list[dict]:
     """Entry partition per child sitemap (index hosts): pages/posts/misc
     partition the host's entries by i%3; news duplicates a head slice
-    (dropped by Q4 filtering, so the duplication is never observable)."""
+    (dropped by Q4 filtering, so the duplication is never observable);
+    extra page children (wide-index test shape) each carry one entry."""
     entries = sitemap_entries(cfg, j)
     if name == "sitemap-pages.xml":
         return [e for i, e in enumerate(entries) if i % 3 == 0]
@@ -230,6 +241,9 @@ def child_sitemap_entries(cfg: SynthConfig, j: int, name: str) -> list[dict]:
         return [e for i, e in enumerate(entries) if i % 3 == 2]
     if name == "sitemap-news.xml":
         return entries[:6]
+    if name.startswith("sitemap-pages-") and entries:
+        k = int(name[len("sitemap-pages-"):-len(".xml")])
+        return [entries[k % len(entries)]]
     return []
 
 
@@ -253,26 +267,36 @@ def sitemap_xml_child(cfg: SynthConfig, j: int, name: str) -> str:
     return _urlset_xml(child_sitemap_entries(cfg, j, name))
 
 
-def aggregated_sitemap_entries(
-    cfg: SynthConfig, j: int, max_pages: int
-) -> list[dict]:
-    """SEMANTICS twin of the fetch stage's sitemap handling, used by the
-    pure-Python oracle (implementation-independent: the engine goes
-    through real XML parse, this goes through entry metadata): urlset →
-    all entries; index → Q4-filter children (page first, other after,
-    non-page dropped), aggregate child entries in that order, stop once
-    >= max_pages accumulated (domain_spider.py:326-354 early break)."""
-    if sitemap_layout(cfg, j) != "index":
-        return sitemap_entries(cfg, j)
-    from .functions.sitemaps import filter_page_sitemaps
+def is_child_sitemap_url(cfg: SynthConfig, url_norm: str):
+    """Returns (host index j, child name) if url_norm is a child sitemap
+    of an index-layout host, else None. Child sitemaps are fetched as
+    CONTROL frontier rows (the ``discovered`` path), not recursed in-task,
+    so the fetch stage must recognize them as first-class URLs."""
+    rest = url_norm.removeprefix("https://")
+    host, _, path = rest.partition("/")
+    if path not in child_sitemap_names(cfg):
+        return None
+    if not host.startswith("h") or not host.endswith(".example.com"):
+        return None
+    try:
+        j = int(host[1 : -len(".example.com")])
+    except ValueError:
+        return None
+    if not (0 <= j < cfg.n_hosts) or sitemap_layout(cfg, j) != "index":
+        return None
+    return (j, path)
 
-    children, _ = filter_page_sitemaps(child_sitemap_urls(cfg, j))
-    out: list[dict] = []
-    for cu in children:
-        out.extend(child_sitemap_entries(cfg, j, cu.rsplit("/", 1)[1]))
-        if len(out) >= max_pages:
-            break
-    return out
+
+def sitemap_xml_at(cfg: SynthConfig, url_norm: str) -> str | None:
+    """The XML document served at any sitemap URL (root or child) — the
+    single lookup the fetch stage uses, standing in for the HTTP GET."""
+    j = is_sitemap_url(cfg, url_norm)
+    if j is not None:
+        return sitemap_xml(cfg, j)
+    child = is_child_sitemap_url(cfg, url_norm)
+    if child is not None:
+        return sitemap_xml_child(cfg, child[0], child[1])
+    return None
 
 
 def host_blocked(cfg: SynthConfig, j: int) -> bool:
@@ -289,6 +313,8 @@ def status_of(cfg: SynthConfig, url_norm: str, strategy_level: int = 0) -> int:
     pages succeed from proxy up (the reference force-proxies 403 retries,
     middlewares/retry_middleware.py:33-55). Unknown URLs 404."""
     if is_sitemap_url(cfg, url_norm) is not None:
+        return 200
+    if is_child_sitemap_url(cfg, url_norm) is not None:
         return 200
     if is_robots_url(cfg, url_norm) is not None:
         return 200
@@ -319,6 +345,8 @@ def status_of(cfg: SynthConfig, url_norm: str, strategy_level: int = 0) -> int:
 
 def content_type_of(cfg: SynthConfig, url_norm: str) -> str:
     if is_sitemap_url(cfg, url_norm) is not None:
+        return "application/xml"
+    if is_child_sitemap_url(cfg, url_norm) is not None:
         return "application/xml"
     if is_robots_url(cfg, url_norm) is not None:
         return "text/plain"

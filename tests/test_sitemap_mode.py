@@ -124,6 +124,55 @@ def test_robots_discovery_seen_equality(spark, results_robots):
     assert seen == oracle.seen
 
 
+# --- wide <sitemapindex> fan-out: children are control frontier rows ------
+# (VERDICT r2 #5: no serial in-task child loop; a 100-child index must not
+# pin one fetch task, and the emission is capped at max_pages children)
+
+CFGW = synth.SynthConfig(
+    seed=1, n_hosts=1, pages_base=12, hot_factor=1, branching=4,
+    extra_page_children=100,
+)
+
+
+def test_wide_index_trace_equality(spark, tmp_path_factory):
+    """A 100-child index host: engine ≡ oracle, and the child fan-out is
+    spread across batches by politeness instead of looping in one task."""
+    assert synth.sitemap_layout(CFGW, 0) == "index"
+    seeds = synth.seed_rows(CFGW, max_pages=8, use_sitemap=True)
+    oracle = run_oracle(CFGW, seeds, POLICY)
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFGW))
+    d = str(tmp_path_factory.mktemp("smwide_ckpt"))
+    engine = run_crawl(spark, CFGW, seeds, robots, d, POLICY)
+    etrace = sorted(
+        (r.crawl_id, r.batch_id, r.seq_in_batch, r.url_norm, r.host, r.depth)
+        for r in engine.trace(spark).collect()
+    )
+    assert etrace == sorted(oracle.trace)
+    # children fetched as first-class frontier rows, capped at max_pages
+    child_fetches = [t for t in oracle.trace if "sitemap-" in t[3]]
+    assert len(child_fetches) == 8  # max_pages cap, not all 103 kept children
+    # and politeness (quota 4/host/batch) spreads them over >1 batch —
+    # impossible under the old serial in-task recursion
+    assert len({b for (_, b, _, u, _, _) in child_fetches}) > 1
+
+
+def test_index_fetch_task_is_bounded():
+    """The index-root fetch itself must emit ONLY the Q4-filtered child
+    list (bounded by max_pages) — no child entries parsed in-task."""
+    from crawler_distributed_spark.functions.sitemaps import (
+        filter_page_sitemaps,
+        parse_sitemap_xml,
+    )
+
+    root = parse_sitemap_xml(synth.sitemap_xml(CFGW, 0))
+    assert root["is_index"] and len(root["child_sitemaps"]) == 104
+    children, _ = filter_page_sitemaps(root["child_sitemaps"])
+    # the fetch stage forwards children[:max_pages] as `discovered` and
+    # parses zero entries for an index root (operators/fetch.py)
+    assert len(children) == 103  # news dropped
+    assert root["entries"] == []
+
+
 def test_sitemap_priority_actually_orders(spark, results):
     """Scheduled page order within a batch must follow score order, not
     page number — i.e. the priority column is load-bearing."""

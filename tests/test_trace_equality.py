@@ -218,6 +218,32 @@ def test_sparse_checkpoint_bloom_off_resume(spark, tmp_path, oracle_result):
     assert seen == oracle_result.seen
 
 
+def test_per_crawl_batch_budget(spark, tmp_path):
+    """Q6 CLOSESPIDER_TIMEOUT analog (settings.py:75-76), deterministic:
+    one crawl carries max_batches=2 and must stop scheduling AND admitting
+    from batch 2 on while the others run to completion — engine ≡ oracle
+    on trace and seen set, and the cap actually cut the crawl short."""
+    seeds = [dict(s) for s in SEEDS]
+    seeds[0]["max_batches"] = 2
+    d = str(tmp_path / "cap_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    eng = run_crawl(spark, CFG, seeds, robots, d, POLICY)
+    orc = run_oracle(CFG, seeds, POLICY)
+    assert _engine_trace(spark, eng) == sorted(
+        orc.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in eng.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == orc.seen
+    cid = seeds[0]["crawl_id"]
+    capped = [t for t in orc.trace if t[0] == cid]
+    assert capped and max(t[1] for t in capped) < 2, "no fetch at/after the cap"
+    # the cap was load-bearing: the uncapped run fetches strictly more
+    base = run_oracle(CFG, SEEDS, POLICY)
+    assert len([t for t in base.trace if t[0] == cid]) > len(capped)
+
+
 def test_dirty_checkpoint_refused(spark, tmp_path):
     """Re-running a crawl into a checkpoint that already has committed
     state without resume=True must fail loudly (never silently clobber
