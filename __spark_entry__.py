@@ -659,6 +659,10 @@ def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("third_party_services.page_builder").alias("page_builder"),
         F.col("uri_data.depth").alias("uri_depth"),
         F.col("mobile_data.score").alias("mobile_score"),
+        F.col("mobile_data.media_queries_count").alias("n_media_queries"),
+        F.col("pagespeed_data.has_minified_css").cast("int").alias("min_css"),
+        F.col("pagespeed_data.has_minified_js").cast("int").alias("min_js"),
+        F.size("third_party_services.providers").alias("n_providers"),
         F.col("directives_data.is_indexable").alias("indexable"),
     ).orderBy("doc_id")
 
@@ -896,12 +900,27 @@ def oracle_sql() -> dict[str, str]:
     # page-builder class-token CASE list, generated from the SAME
     # signature table the engine uses (extract/spans.py) so the two
     # sides cannot drift
-    from crawler_distributed_spark.extract.spans import PAGE_BUILDER_SIGNATURES
+    from crawler_distributed_spark.extract.spans import (
+        INLINE_JS_SIGNATURES,
+        PAGE_BUILDER_SIGNATURES,
+        THIRD_PARTY_SIGNATURES,
+    )
 
     _builder_case_sql = ", ".join(
         f"CASE WHEN contains(bc, '{sig}') THEN '{name}' END"
         for name, sig in PAGE_BUILDER_SIGNATURES.items()
     )
+    # provider count: src-signature over external refs OR inline-JS token
+    # over inline script bodies — generated from the SAME tables the
+    # engine uses (extract/spans.py) so the two sides cannot drift
+    _tp_conds = []
+    for name, sig in THIRD_PARTY_SIGNATURES.items():
+        cond = f"len(list_filter(extrefs, r -> contains(r, '{sig}'))) > 0"
+        for tok in INLINE_JS_SIGNATURES.get(name, ()):
+            esc = tok.replace("'", "''")
+            cond += f" OR len(list_filter(inljs, b -> contains(b, '{esc}'))) > 0"
+        _tp_conds.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    _tp_count_sql = " + ".join(_tp_conds)
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1322,8 +1341,64 @@ def oracle_sql() -> dict[str, str]:
                                     '^generator: ', '') AS gen,
                      coalesce((list_filter(spans, s -> s.kind = 'meta'
                                      AND starts_with(s.text, 'bodyclass: '))[1]).text,
-                              '') AS bc
-              FROM d)
+                              '') AS bc,
+                     list_transform(list_filter(spans, s -> s.kind = 'style'),
+                                    s -> coalesce(s.text, '')) AS styles,
+                     list_transform(list_filter(spans, s -> s.kind = 'el'),
+                                    s -> coalesce(s.text, '')) AS els,
+                     list_transform(list_filter(spans, s -> s.kind = 'script'
+                                                 AND s.media_ref IS NULL),
+                                    s -> coalesce(s.text, '')) AS inljs,
+                     list_transform(list_filter(spans, s -> s.kind = 'script'
+                                                 AND s.media_ref IS NOT NULL
+                                                 AND contains(s.media_ref, '://')
+                                                 AND NOT contains(s.media_ref, host)),
+                                    s -> s.media_ref) AS extrefs,
+                     list_transform(list_filter(spans, s -> s.kind = 'script'
+                                                 AND s.media_ref IS NOT NULL),
+                                    s -> s.media_ref) AS allrefs
+              FROM d),
+            y AS (
+              SELECT *,
+                     coalesce(array_to_string(styles, ''), '') AS css0,
+                     coalesce(array_to_string(styles, chr(10)), '') AS cssn,
+                     coalesce(array_to_string(inljs, chr(10)), '') AS jsn,
+                     ((vp IS NOT NULL AND contains(vp, 'width=device-width')
+                                      AND contains(vp, 'initial-scale=1'))
+                      OR len(string_split(coalesce(array_to_string(styles, ''), ''), '@media')) - 1 > 0
+                     ) AS responsive,
+                     (len(list_filter(els, t -> starts_with(t, 'button|')
+                           AND (contains(t, 'width: 2') OR contains(t, 'height: 2'))))
+                      + len(list_filter(els, t -> starts_with(t, 'a|')
+                           AND (contains(t, 'padding: 0') OR contains(t, 'padding:0'))))
+                      > 0) AS tap,
+                     (len(list_filter(els, t -> contains(t, 'font-size: 1')
+                           OR contains(t, 'font-size:1') OR contains(t, 'font-size: 0')
+                           OR contains(t, 'font-size:0'))) > 0) AS smallfont,
+                     (len(list_filter(els, t -> starts_with(t, 'body|')
+                           AND contains(t, 'width:')))
+                      + len(list_filter(els, t -> starts_with(t, 'div|')
+                           AND (contains(t, 'width: 9') OR contains(t, 'width: 10')
+                                OR contains(t, 'width: 11') OR contains(t, 'width: 12'))))
+                      > 0) AS fixedw,
+                     (len(list_filter(els, t -> starts_with(t, 'body|')
+                           AND (contains(t, 'overflow-x:visible')
+                                OR contains(t, 'overflow-x: visible')
+                                OR contains(t, 'overflow:visible')
+                                OR contains(t, 'overflow: visible')))) > 0) AS hscroll,
+                     (len(list_filter(els, t -> contains(t, 'class=')
+                           AND (contains(t, 'modal') OR contains(t, 'popup')
+                                OR contains(t, 'overlay')
+                                OR contains(t, 'interstitial')))) > 0) AS interst,
+                     (len(list_filter(els, t -> (starts_with(t, 'object|')
+                                                 OR starts_with(t, 'embed|'))
+                           AND contains(t, 'flash'))) > 0) AS flash,
+                     (contains(coalesce(array_to_string(styles, ''), ''), 'text-size-adjust: none')
+                      OR contains(coalesce(array_to_string(styles, ''), ''), 'text-size-adjust:none')
+                     ) AS tsadis,
+                     (len(list_filter(spans, s -> s.kind = 'meta'
+                           AND starts_with(s.text, 'altmobile:'))) > 0) AS sepm
+              FROM x)
             SELECT doc_id,
                    (list_filter(spans, s -> s.kind = 'title')[1]).text AS title,
                    len(list_filter(spans, s -> s.kind = 'heading')) AS n_headings,
@@ -1374,18 +1449,38 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_replace(url_norm, '^[a-z]+://[^/]*', ''),
                                       '[?#].*$', ''), '/'),
                        seg -> length(seg) > 0)) AS uri_depth,
-                   100 - (CASE WHEN vp IS NULL THEN 40 ELSE 0 END)
-                       - (CASE WHEN vp IS NULL OR NOT contains(vp, 'width=device-width')
-                               THEN 20 ELSE 0 END)
-                       - (CASE WHEN vp IS NULL OR NOT contains(vp, 'initial-scale=1')
-                               THEN 10 ELSE 0 END)
-                       - (CASE WHEN vp IS NOT NULL AND contains(vp, 'user-scalable=no')
-                               THEN 10 ELSE 0 END) AS mobile_score,
+                   greatest(0, least(100,
+                     100
+                     - (CASE WHEN vp IS NULL THEN 40
+                             WHEN NOT responsive THEN 25 ELSE 0 END)
+                     - (CASE WHEN tap THEN 15 ELSE 0 END)
+                     - (CASE WHEN smallfont THEN 15 ELSE 0 END)
+                     - (CASE WHEN flash THEN 20 ELSE 0 END)
+                     - (CASE WHEN hscroll THEN 20 ELSE 0 END)
+                     - (CASE WHEN fixedw AND NOT responsive THEN 15 ELSE 0 END)
+                     - (CASE WHEN vp IS NOT NULL AND contains(vp, 'user-scalable=no')
+                             THEN 10 ELSE 0 END)
+                     - (CASE WHEN tsadis THEN 10 ELSE 0 END)
+                     - (CASE WHEN sepm THEN 5 ELSE 0 END)
+                     - (CASE WHEN interst THEN 10 ELSE 0 END)
+                   )) AS mobile_score,
+                   len(string_split(css0, '@media')) - 1 AS n_media_queries,
+                   (CASE WHEN len(styles) > 0
+                              AND len(string_split(cssn, chr(10))) <= 5
+                              AND length(cssn) > 500
+                         THEN 1 ELSE 0 END) AS min_css,
+                   (CASE WHEN (len(inljs) > 0
+                               AND len(string_split(jsn, chr(10))) <= 5
+                               AND length(jsn) > 500)
+                              OR len(list_filter(allrefs,
+                                     r -> contains(r, '.min.js'))) > 0
+                         THEN 1 ELSE 0 END) AS min_js,
+                   {_tp_count_sql} AS n_providers,
                    NOT contains(coalesce(array_to_string(list_transform(
                        list_filter(spans, s -> s.kind = 'meta'
                                              AND starts_with(s.text, 'robots:')),
                        s -> s.text), ','), ''), 'noindex') AS indexable
-            FROM x ORDER BY doc_id
+            FROM y ORDER BY doc_id
         """,
         # multimodal_features / ann_lsh_topk / embedding_near_dup /
         # minhash_near_dup / simhash_dup_groups: fully recomputed in SQL

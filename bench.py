@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "url_normalize_hosts",
     "batch_dedup_stable",
     "dedup_exact",
+    "simhash_near_dup",
     "minhash_near_dup",
     "ngram_jaccard",
     "token_counts",

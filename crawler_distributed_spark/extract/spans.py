@@ -47,10 +47,24 @@ SPANS = "spans"
 # (headings_worker.py:306-377 builds >3-char stopworded token sets)
 _STOPWORDS = ["the", "and", "for", "with", "from", "this", "that", "page"]
 
-# W15 third-party signature table — the script-src-visible twin of
-# third_party_services_worker.py:44-89's ~24 service signature sets
-# (inline-JS signatures like 'gtag('/'fbq(' are represented by the CDN
-# host that serves them; the span grammar carries src URLs only)
+# W15 third-party signature tables (third_party_services_worker.py:44-89):
+# src-URL signatures matched over external script refs, and in-body JS
+# signatures matched over inline script bodies — a service is detected if
+# EITHER surface hits (the reference matches both against the raw HTML).
+INLINE_JS_SIGNATURES = {
+    "google_analytics": ("window.dataLayer", "gtag(", "_gaq",
+                         "GoogleAnalyticsObject"),
+    "facebook_pixel": ("fbq(",),
+    "hotjar": ("hjSettings", "hj.q"),
+    "optimizely": ("optimizelyDatafile",),
+    "intercom": ("intercomSettings",),
+    "zendesk": ("zE(",),
+    "segment": ("analytics.load",),
+    "mixpanel": ("mixpanel.init",),
+    "new_relic": ("NREUM",),
+    "fullstory": ("FS.",),
+    "amplitude": ("amplitude.init",),
+}
 THIRD_PARTY_SIGNATURES = {
     "google_tag_manager": "googletagmanager.com",
     "google_analytics": "google-analytics.com",
@@ -499,13 +513,10 @@ def javascript_struct() -> Column:
             lambda s: ~F.coalesce(s["text"], F.lit("")).rlike("async|defer"),
         )
     )
+    # inline scripts carry their raw JS body as the span text
     inline_bytes = F.aggregate(
         F.transform(
-            inline,
-            lambda s: F.coalesce(
-                F.regexp_extract(s["text"], r"^inline:(\d+)$", 1).try_cast("int"),
-                F.lit(0),
-            ),
+            inline, lambda s: F.coalesce(F.length(s["text"]), F.lit(0))
         ),
         F.lit(0),
         lambda a, x: a + x,
@@ -779,35 +790,130 @@ def hreflang_struct(
 
 
 def mobile_struct() -> Column:
-    """W11 (mobile_worker.py:49-413): viewport parse (width/initial-scale/
-    user-scalable), AMP alternate link, and the reference's weighted
-    penalty score (:361-398): 100 − 40·no-viewport − 20·no-device-width −
-    10·no-initial-scale − 10·user-scalable=no; verdict likely ≥80,
-    possibly ≥50, else unlikely."""
+    """W11 (mobile_worker.py:49-413), full reference penalty table
+    (:361-398): 100 − 40·missing-viewport (ELSE 25·not-responsive) −
+    15·tap-targets − 15·small-fonts − 20·flash − 20·horizontal-scroll −
+    15·fixed-width − 10·zoom-disabled − 10·text-size-adjust-disabled −
+    5·separate-mobile-site − 10·interstitial, clamped to [0,100];
+    verdict likely ≥80 / possibly ≥60 / else unlikely (:400-413).
+
+    Signals: viewport meta (:139-169: responsive needs device-width AND
+    initial-scale=1, or any @media query in a style body, :270-291);
+    text-size-adjust detection + ':none' disable (:283-291); tap targets
+    = button style 'width: 2'/'height: 2' or a style 'padding: 0'
+    (:306-326); small fonts 'font-size: 1|0' (:301-305); fixed width =
+    body width / div 'width: 9|10|11|12' when not responsive (:328-331);
+    horizontal scroll = body overflow[-x]: visible (:334-337);
+    interstitial = modal/popup/overlay/interstitial class (:339-342);
+    plugins flash/java (:344-360); separate mobile site = alternate link
+    (:215-240, the altmobile meta)."""
     metas = _metas()
     vp = F.get(F.filter(metas, lambda t: t.startswith("viewport:")), 0)
     has_vp = vp.isNotNull()
-    responsive = has_vp & vp.contains("width=device-width")
+    vp_device = has_vp & vp.contains("width=device-width")
     initial_scale = has_vp & vp.contains("initial-scale=1")
-    no_user_scale = has_vp & vp.contains("user-scalable=no")
+    zoom_disabled = has_vp & vp.contains("user-scalable=no")
     amp = F.exists(metas, lambda t: t.startswith("amphtml:"))
-    score = (
-        F.lit(100)
-        - F.when(~has_vp, 40).otherwise(0)
-        - F.when(~responsive, 20).otherwise(0)
-        - F.when(~initial_scale, 10).otherwise(0)
-        - F.when(no_user_scale, 10).otherwise(0)
+
+    # style bodies: the reference concatenates style.string verbatim
+    css = F.concat_ws("", _texts(_of_kind("style")))
+    media_queries = F.size(F.split(css, "@media")) - 1
+    is_responsive = (vp_device & initial_scale) | (media_queries > 0)
+    tsa_found = css.contains("text-size-adjust")
+    tsa_disabled = css.contains("text-size-adjust: none") | css.contains(
+        "text-size-adjust:none"
     )
+
+    els = _texts(_of_kind("el"))
+    tagged = lambda tag: F.filter(  # noqa: E731
+        els, lambda t: t.startswith(f"{tag}|")
+    )
+    el_has = lambda tag, tok: F.exists(  # noqa: E731
+        tagged(tag), lambda t: t.contains(tok)
+    )
+    tap_targets = (
+        el_has("button", "width: 2")
+        | el_has("button", "height: 2")
+        | el_has("a", "padding: 0")
+        | el_has("a", "padding:0")
+    )
+    font_issues = F.exists(
+        els,
+        lambda t: t.contains("font-size: 1")
+        | t.contains("font-size:1")
+        | t.contains("font-size: 0")
+        | t.contains("font-size:0"),
+    )
+    fixed_width = (
+        el_has("body", "width:")
+        | el_has("div", "width: 9")
+        | el_has("div", "width: 10")
+        | el_has("div", "width: 11")
+        | el_has("div", "width: 12")
+    ) & ~is_responsive
+    hscroll = (
+        el_has("body", "overflow-x:visible")
+        | el_has("body", "overflow-x: visible")
+        | el_has("body", "overflow:visible")
+        | el_has("body", "overflow: visible")
+    )
+    interstitial = F.exists(
+        els,
+        lambda t: t.contains("class=")
+        & (
+            t.contains("modal")
+            | t.contains("popup")
+            | t.contains("overlay")
+            | t.contains("interstitial")
+        ),
+    )
+    flash = (el_has("object", "flash")) | (el_has("embed", "flash"))
+    java = (F.size(tagged("applet")) > 0) | el_has("object", "java")
+    plugins = F.filter(
+        F.array(
+            F.when(flash, F.lit("flash")), F.when(java, F.lit("java"))
+        ),
+        lambda x: x.isNotNull(),
+    )
+    separate_mobile = F.exists(metas, lambda t: t.startswith("altmobile:"))
+
+    raw_score = (
+        F.lit(100)
+        - F.when(~has_vp, 40).otherwise(F.when(~is_responsive, 25).otherwise(0))
+        - F.when(tap_targets, 15).otherwise(0)
+        - F.when(font_issues, 15).otherwise(0)
+        - F.when(flash, 20).otherwise(0)
+        - F.when(hscroll, 20).otherwise(0)
+        - F.when(fixed_width, 15).otherwise(0)
+        - F.when(zoom_disabled, 10).otherwise(0)
+        - F.when(tsa_disabled, 10).otherwise(0)
+        - F.when(separate_mobile, 5).otherwise(0)
+        - F.when(interstitial, 10).otherwise(0)
+    )
+    score = F.greatest(F.lit(0), F.least(F.lit(100), raw_score))
     verdict = (
         F.when(score >= 80, F.lit("likely"))
-        .when(score >= 50, F.lit("possibly"))
+        .when(score >= 60, F.lit("possibly"))
         .otherwise(F.lit("unlikely"))
     )
     return F.struct(
         has_vp.alias("has_viewport"),
-        responsive.alias("responsive_width"),
+        vp_device.alias("responsive_width"),
         initial_scale.alias("has_initial_scale"),
-        no_user_scale.alias("user_scalable_no"),
+        zoom_disabled.alias("user_scalable_no"),
+        is_responsive.alias("is_responsive"),
+        media_queries.alias("media_queries_count"),
+        F.when(tsa_disabled, F.lit("disabled"))
+        .when(tsa_found, F.lit("found"))
+        .alias("text_size_adjustment"),
+        tap_targets.alias("tap_target_issues"),
+        font_issues.alias("font_size_issues"),
+        fixed_width.alias("fixed_width_layout"),
+        hscroll.alias("horizontal_scrolling"),
+        interstitial.alias("possible_intrusive_interstitial"),
+        flash.alias("flash_used"),
+        plugins.alias("plugins_used"),
+        separate_mobile.alias("separate_mobile_site"),
         amp.alias("has_amp_link"),
         score.alias("score"),
         verdict.alias("mobile_friendly"),
@@ -873,11 +979,15 @@ def structured_data_struct() -> Column:
 
 def third_party_struct(host_col: str = "host") -> Column:
     """W15 (third_party_services_worker.py:44-802): the ~24-service
-    signature table over external script refs (THIRD_PARTY_SIGNATURES),
+    signature table over external script refs (THIRD_PARTY_SIGNATURES)
+    UNION the in-body JS signatures over inline script bodies
+    (INLINE_JS_SIGNATURES — 'gtag(', 'fbq(', 'hjSettings', ... matched
+    case-sensitively like the reference's `pattern in html_content`),
     CMS from generator meta + path signatures (:520-610), WP theme from
     /wp-content/themes/ paths (:612-700), CSS-framework and page-builder
     class-token detection (:154-175) over the bodyclass meta."""
-    refs = _refs(_of_kind("script"))
+    scripts = _of_kind("script")
+    refs = _refs(scripts)
     ext = F.filter(
         refs,
         lambda r: r.isNotNull()
@@ -887,10 +997,17 @@ def third_party_struct(host_col: str = "host") -> Column:
     domains = F.array_distinct(
         F.transform(ext, lambda r: F.regexp_extract(r, r"^https?://([^/]+)", 1))
     )
-    hits = [
-        F.when(F.exists(ext, lambda r: r.contains(sig)), F.lit(name))
-        for name, sig in THIRD_PARTY_SIGNATURES.items()
-    ]
+    inline_bodies = F.transform(
+        F.filter(scripts, lambda s: s["media_ref"].isNull()),
+        lambda s: F.coalesce(s["text"], F.lit("")),
+    )
+    hits = []
+    for name, sig in THIRD_PARTY_SIGNATURES.items():
+        src_hit = F.exists(ext, lambda r: r.contains(sig))
+        js_hit = F.lit(False)
+        for tok in INLINE_JS_SIGNATURES.get(name, ()):
+            js_hit = js_hit | F.exists(inline_bodies, lambda b: b.contains(tok))
+        hits.append(F.when(src_hit | js_hit, F.lit(name)))
     providers = F.sort_array(F.filter(F.array(*hits), lambda x: x.isNotNull()))
     generator = _meta_first("generator")
     all_refs = F.filter(
@@ -963,7 +1080,10 @@ def third_party_struct(host_col: str = "host") -> Column:
 def pagespeed_struct(headers_col: str | None = None) -> Column:
     """W13 (pagespeed_worker.py:46-535): resource inventory, third-party
     share, render-blocking (external scripts without async|defer, :230-290),
-    compression + content-length from response headers (:46-120)."""
+    compression + content-length from response headers (:46-120), and the
+    minified-CSS/JS heuristics over style / inline-script bodies
+    (:369-386: joined content with ≤5 lines and >500 chars; JS also flags
+    on a .min.js src)."""
     scripts = _of_kind("script")
     images = _of_kind("image")
     videos = _of_kind("video")
@@ -977,14 +1097,32 @@ def pagespeed_struct(headers_col: str | None = None) -> Column:
     )
     enc = _header_joined(headers_col, "content-encoding")
     clen = _header_joined(headers_col, "content-length").try_cast("long")
-    # performance indicator flags (pagespeed_worker.py:347-413); the
-    # minified-CSS heuristic has no span surface (no <style> spans) and
-    # is omitted
     refs = F.transform(ext_scripts, lambda s: s["media_ref"])
     img_refs = _refs(images)
     with_dims = F.filter(
         img_refs,
         lambda r: _dim_of(r, "w").isNotNull() & _dim_of(r, "h").isNotNull(),
+    )
+    # minified-CSS/JS heuristics (pagespeed_worker.py:369-386): join the
+    # inline bodies with '\n'; minified = few lines relative to length
+    # (<=5 lines, >500 chars); JS additionally flags on any .min.js src
+    styles = _texts(_of_kind("style"))
+    css = F.concat_ws("\n", styles)
+    has_min_css = (
+        (F.size(styles) > 0)
+        & (F.size(F.split(css, "\n")) <= 5)
+        & (F.length(css) > 500)
+    )
+    inline_scripts = F.filter(scripts, lambda s: s["media_ref"].isNull())
+    js = F.concat_ws(
+        "\n", F.transform(inline_scripts, lambda s: F.coalesce(s["text"], F.lit("")))
+    )
+    has_min_js = (
+        (F.size(inline_scripts) > 0)
+        & (F.size(F.split(js, "\n")) <= 5)
+        & (F.length(js) > 500)
+    ) | F.exists(
+        F.filter(refs, lambda r: r.isNotNull()), lambda r: r.contains(".min.js")
     )
     return F.struct(
         n_res.alias("resource_count"),
@@ -997,7 +1135,8 @@ def pagespeed_struct(headers_col: str | None = None) -> Column:
         (F.length(enc) > 0).alias("is_compressed"),
         clen.alias("content_length"),
         (F.size(scripts) > 5).alias("many_scripts"),
-        F.exists(refs, lambda r: r.contains(".min.js")).alias("has_minified_js"),
+        has_min_js.alias("has_minified_js"),
+        has_min_css.alias("has_minified_css"),
         (render_blocking > 0).alias("has_render_blocking_resources"),
         (F.size(img_refs) > F.size(with_dims)).alias("has_unoptimized_images"),
         (F.size(F.col(SPANS)) > 1500).alias("has_excessive_dom_size"),

@@ -434,12 +434,19 @@ def outlinks_of(cfg: SynthConfig, url_norm: str) -> list[str]:
 #   link     text = "<anchor>" or "<anchor>|a1,a2"     (attrs: nofollow,
 #            sponsored, ugc, blank); media_ref may be mailto:/tel:/#frag
 #   script   media_ref = src (None = inline); text = "async"/"defer"/
-#            "module" csv, or "inline:<bytes>" for inline scripts
+#            "module" csv for external scripts, or the RAW JS BODY for
+#            inline scripts (the surface for W15 inline-JS signatures and
+#            the W13 minified-JS heuristic)
+#   style    text = the raw CSS body of a <style> tag (W13 minified-CSS,
+#            W11 @media queries / text-size-adjust)
+#   el       text = "<tag>|<attr text>" — element style/class/type
+#            attribute signals (W11 tap targets, font sizes, fixed
+#            width, overflow, interstitial classes, flash/java plugins)
 #   image    media_ref = src, optionally "?w=<px>&h=<px>"; text = alt
 #   meta     text = "<key>: <value>" — keys: description, canonical,
 #            viewport, hreflang, jsonld, microdata, robots, og:<prop>,
-#            generator, amphtml, bodyclass (page-builder / CSS-framework
-#            class tokens — the class-attribute signal)
+#            generator, amphtml, altmobile (separate-mobile-site link),
+#            bodyclass (page-builder / CSS-framework class tokens)
 
 # the reference's 15 schema flags (structured_worker.py:76-90)
 _JSONLD_TYPES = (
@@ -488,6 +495,44 @@ _TP_PROVIDERS = (
     "https://tools.luckyorange.com/core/lo.js",
     "https://load.sumo.com/",
     "https://assets.adobedtm.com/launch-abc.min.js",
+)
+# inline-JS snippets carrying the reference's in-body service signatures
+# (third_party_services_worker.py:44-89: 'gtag(', 'window.dataLayer',
+# 'fbq(', '_gaq', 'hjSettings', 'intercomSettings', 'zE(', 'NREUM',
+# 'analytics.load', 'mixpanel.init', 'FS.', 'amplitude.init',
+# 'optimizelyDatafile')
+_INLINE_JS_SNIPPETS = (
+    "window.dataLayer = window.dataLayer || [];"
+    "function gtag(){dataLayer.push(arguments);} gtag('js');",
+    "fbq('init', '1234567890'); fbq('track', 'PageView');",
+    "var _gaq = _gaq || []; _gaq.push(['_setAccount', 'UA-0001-1']);",
+    "h._hjSettings={hjid:101,hjsv:6}; (h.hj.q=h.hj.q||[]).push(arguments);",
+    "window.intercomSettings = { app_id: 'abc123' };",
+    "analytics.load('WRITE_KEY'); analytics.page();",
+    "mixpanel.init('token', {batch_requests: true});",
+    "NREUM.info = {beacon: 'bam.nr-data.net', licenseKey: 'x'};",
+    "zE(function() { zE.hide(); });",
+    "FS.identify('user-1', {displayName: 'U'});",
+    "amplitude.init('key', null, {includeUtm: true});",
+    "window.optimizelyDatafile = {version: '4'};",
+)
+# element-attribute signal variants (mobile_worker.py:294-355 selectors:
+# tap targets via button width/height: 2x / a padding: 0, small fonts via
+# font-size: 1x/0x, fixed-width divs, body overflow-x, interstitial class
+# tokens, flash/java plugin elements)
+_EL_VARIANTS = (
+    "button|style=width: 24px; height: 32px",
+    "a|style=padding: 0 2px",
+    "button|style=width: 120px; height: 48px",
+    "span|style=font-size: 11px",
+    "div|style=width: 960px",
+    "body|style=overflow-x: visible",
+    "div|class=modal overlay",
+    "object|type=application/x-shockwave-flash",
+    "applet|code=App.class",
+    "embed|type=application/x-shockwave-flash",
+    "object|type=application/x-java-applet",
+    "a|style=margin: 4px 8px",
 )
 _CMS_NAMES = ("WordPress 6.4", "Drupal 10", "Joomla 5", "Wix.com", "Squarespace")
 _WP_THEMES = ("astra", "divi", "oceanwp", "generatepress")
@@ -612,7 +657,9 @@ def spans_of(
                 spans.append(("script", "defer", fw, offset))
             elif m == 4:
                 size = 200 + _h(cfg.seed, "isz", url_norm, k) % 5000
-                spans.append(("script", f"inline:{size}", None, offset))
+                spans.append(
+                    ("script", _inline_js_body(cfg, url_norm, k, size), None, offset)
+                )
             else:
                 dims = ""
                 d = _h(cfg.seed, "idim", url_norm, k) % 4
@@ -706,7 +753,56 @@ def spans_of(
                 )[_h(cfg.seed, "ridx", url_norm) % 7]
                 spans.append(("meta", f"robots: {rb}", None, offset))
                 offset += 22
+    # trailing W11/W13/W15 surfaces: <style> body, element-attribute
+    # signals, separate-mobile-site link
+    if _h(cfg.seed, "styl", url_norm) % 3 != 2:
+        rules = [
+            f".c{r} {{ color: #1a1a2e; margin: {r}px; padding: {r % 4}px; }}"
+            for r in range(6 + _h(cfg.seed, "styn", url_norm) % 5)
+        ]
+        if _h(cfg.seed, "stymq", url_norm) % 2 == 0:
+            rules.append("@media (max-width: 600px) { .nav { display: none; } }")
+        tsa = _h(cfg.seed, "stytsa", url_norm) % 4
+        if tsa == 0:
+            rules.append("body { -webkit-text-size-adjust: 100%; }")
+        elif tsa == 1:
+            rules.append("body { -webkit-text-size-adjust: none; }")
+        if _h(cfg.seed, "stymin", url_norm) % 4 == 0:
+            css = " ".join(rules)  # minified: one long line
+            while len(css) <= 500:
+                css += " " + " ".join(rules)
+        else:
+            css = "\n".join(rules)  # >=6 lines, never flags as minified
+        spans.append(("style", css, None, offset))
+        offset += 2
+    for e in range(_h(cfg.seed, "nel", url_norm) % 4):
+        ev = _EL_VARIANTS[_h(cfg.seed, "el", url_norm, e) % len(_EL_VARIANTS)]
+        spans.append(("el", ev, None, offset))
+        offset += 2
+    if _h(cfg.seed, "altm", url_norm) % 8 == 0:
+        spans.append(("meta", f"altmobile: https://m.{host}/", None, offset))
+        offset += 9
     return spans
+
+
+def _inline_js_body(cfg: SynthConfig, url_norm: str, k: int, size: int) -> str:
+    """Inline <script> body: optionally leads with a third-party service
+    signature snippet, then deterministic filler to ~size chars; 1/4 are
+    'minified' (single line) for the W13 heuristic."""
+    parts = []
+    if _h(cfg.seed, "jssig", url_norm, k) % 3 == 0:
+        parts.append(
+            _INLINE_JS_SNIPPETS[
+                _h(cfg.seed, "jssn", url_norm, k) % len(_INLINE_JS_SNIPPETS)
+            ]
+        )
+    unit = f"var v{k} = {k}; function f{k}(x) {{ return x + {k}; }}"
+    total = sum(len(p) + 1 for p in parts)
+    while total < size:
+        parts.append(unit)
+        total += len(unit) + 1
+    sep = " " if _h(cfg.seed, "jsmin", url_norm, k) % 2 == 0 else "\n"
+    return sep.join(parts)
 
 
 _ENCODINGS = ("gzip", "gzip", "br", None, None)

@@ -335,7 +335,7 @@ def test_javascript(docs):
             1 for t, _ in ext if "async" not in (t or "") and "defer" not in (t or "")
         )
         assert row.javascript_data.render_blocking == rb
-        ib = sum(int((t or "inline:0").split(":")[1]) for t, _ in inline)
+        ib = sum(len(t or "") for t, _ in inline)  # inline text IS the body
         assert row.javascript_data.inline_bytes == ib
         fws = sorted(
             name
@@ -441,26 +441,93 @@ def test_hreflang(docs):
 
 
 def test_mobile_score(docs):
+    """Full reference penalty table (mobile_worker.py:361-398) recomputed
+    from the spans in pure Python — style bodies, element-attribute
+    signals, viewport, plugins, separate-mobile link all load-bearing."""
     verdicts = set()
+    hits = {k: 0 for k in ("tap", "font", "flash", "fixed", "inter", "tsa",
+                           "sepm", "hscroll", "mq")}
     for u, row in docs.items():
+        sp = _spans(u)
         vps = _metas(u, "viewport:")
         vp = vps[0].removeprefix("viewport: ") if vps else None
+        css = "".join(t for (k, t, m, o) in sp if k == "style")
+        els = [t for (k, t, m, o) in sp if k == "el"]
+        mq = css.count("@media")
+        responsive = (
+            vp is not None and "width=device-width" in vp and "initial-scale=1" in vp
+        ) or mq > 0
+        tap = any(
+            t.startswith("button|") and ("width: 2" in t or "height: 2" in t)
+            for t in els
+        ) or any(
+            t.startswith("a|") and ("padding: 0" in t or "padding:0" in t)
+            for t in els
+        )
+        font = any(
+            x in t for t in els
+            for x in ("font-size: 1", "font-size:1", "font-size: 0", "font-size:0")
+        )
+        fixed = (
+            any(t.startswith("body|") and "width:" in t for t in els)
+            or any(
+                t.startswith("div|")
+                and any(w in t for w in ("width: 9", "width: 10", "width: 11", "width: 12"))
+                for t in els
+            )
+        ) and not responsive
+        hscroll = any(
+            t.startswith("body|")
+            and any(x in t for x in ("overflow-x:visible", "overflow-x: visible",
+                                     "overflow:visible", "overflow: visible"))
+            for t in els
+        )
+        inter = any(
+            "class=" in t
+            and any(x in t for x in ("modal", "popup", "overlay", "interstitial"))
+            for t in els
+        )
+        flash = any(
+            t.startswith(("object|", "embed|")) and "flash" in t for t in els
+        )
+        tsadis = "text-size-adjust: none" in css or "text-size-adjust:none" in css
+        zoom = vp is not None and "user-scalable=no" in vp
+        sepm = bool(_metas(u, "altmobile:"))
         score = 100
         if vp is None:
-            score -= 40 + 20 + 10
-        else:
-            if "width=device-width" not in vp:
-                score -= 20
-            if "initial-scale=1" not in vp:
-                score -= 10
-            if "user-scalable=no" in vp:
-                score -= 10
-        assert row.mobile_data.score == score, (u, vp)
-        want = "likely" if score >= 80 else "possibly" if score >= 50 else "unlikely"
+            score -= 40
+        elif not responsive:
+            score -= 25
+        score -= (15 * tap + 15 * font + 20 * flash + 20 * hscroll + 15 * fixed
+                  + 10 * zoom + 10 * tsadis + 5 * sepm + 10 * inter)
+        score = max(0, min(100, score))
+        assert row.mobile_data.score == score, (u, vp, els, css[:80])
+        want = "likely" if score >= 80 else "possibly" if score >= 60 else "unlikely"
         assert row.mobile_data.mobile_friendly == want
+        assert row.mobile_data.is_responsive == responsive
+        assert row.mobile_data.media_queries_count == mq
+        assert row.mobile_data.tap_target_issues == tap
+        assert row.mobile_data.font_size_issues == font
+        assert row.mobile_data.fixed_width_layout == fixed
+        assert row.mobile_data.horizontal_scrolling == hscroll
+        assert row.mobile_data.possible_intrusive_interstitial == inter
+        assert row.mobile_data.flash_used == flash
+        assert row.mobile_data.separate_mobile_site == sepm
         assert row.mobile_data.has_amp_link == bool(_metas(u, "amphtml:"))
+        want_plugins = [p for p, f in (("flash", flash), (
+            "java",
+            any(t.startswith("applet|") for t in els)
+            or any(t.startswith("object|") and "java" in t for t in els),
+        )) if f]
+        assert list(row.mobile_data.plugins_used) == want_plugins
         verdicts.add(want)
+        for key, val in (("tap", tap), ("font", font), ("flash", flash),
+                         ("fixed", fixed), ("inter", inter), ("tsa", tsadis),
+                         ("sepm", sepm), ("hscroll", hscroll), ("mq", mq > 0)):
+            hits[key] += bool(val)
     assert len(verdicts) >= 2  # the corpus exercises several verdicts
+    # every penalty surface must actually fire somewhere in the corpus
+    assert all(v > 0 for v in hits.values()), hits
 
 
 # --- W14 structured -----------------------------------------------------------
@@ -485,19 +552,34 @@ def test_structured(docs):
 
 
 def test_third_party(docs):
-    prov_hit = cms_hit = theme_hit = 0
+    from crawler_distributed_spark.extract.spans import INLINE_JS_SIGNATURES
+
+    prov_hit = cms_hit = theme_hit = inline_sig_hit = 0
     for u, row in docs.items():
         host = u.split("/")[2]
         ext = [
             m for (k, t, m, o) in _spans(u)
             if k == "script" and m and "://" in m and host not in m
         ]
+        inljs = [t or "" for (k, t, m, o) in _spans(u) if k == "script" and m is None]
         assert row.third_party_services.third_party_scripts == len(ext)
         provs = sorted(
             name for name, sig in THIRD_PARTY_SIGNATURES.items()
             if any(sig in r for r in ext)
+            or any(
+                tok in b
+                for tok in INLINE_JS_SIGNATURES.get(name, ())
+                for b in inljs
+            )
         )
         assert list(row.third_party_services.providers) == provs
+        # inline-only detections (no src for the service on this page)
+        src_only = {
+            name for name, sig in THIRD_PARTY_SIGNATURES.items()
+            if any(sig in r for r in ext)
+        }
+        if set(provs) - src_only:
+            inline_sig_hit += 1
         refs = [m for (k, t, m, o) in _spans(u) if m]
         gen = _metas(u, "generator:")
         if gen:
@@ -532,18 +614,24 @@ def test_third_party(docs):
         if provs:
             prov_hit += 1
     assert prov_hit > 0 and cms_hit > 0 and theme_hit > 0
+    # W15 gap closed: at least one service detected ONLY via its inline-JS
+    # signature ('gtag(' / 'fbq(' / ...), not via any script src
+    assert inline_sig_hit > 0
 
 
 # --- W13 pagespeed ------------------------------------------------------------
 
 
 def test_pagespeed_indicator_flags(docs):
-    """W13 performance indicators (pagespeed_worker.py:347-413); the
-    minified-CSS heuristic has no span surface and is omitted."""
-    minjs_hit = 0
+    """W13 performance indicators (pagespeed_worker.py:347-413), including
+    the minified-CSS/JS heuristics over <style> and inline-script bodies
+    (:369-386: joined content with ≤5 lines and >500 chars)."""
+    minjs_hit = mincss_hit = inline_min_hit = 0
     for u, row in docs.items():
         sp = _spans(u)
         ext = [m for (k, t, m, o) in sp if k == "script" and m]
+        inljs = [t or "" for (k, t, m, o) in sp if k == "script" and m is None]
+        styles = [t or "" for (k, t, m, o) in sp if k == "style"]
         rb = sum(
             1
             for (k, t, m, o) in sp
@@ -552,16 +640,25 @@ def test_pagespeed_indicator_flags(docs):
         imgs = [m for (k, t, m, o) in sp if k == "image"]
         with_dims = [r for r in imgs if _dim(r, "w") and _dim(r, "h")]
         n_res = sum(1 for (k, t, m, o) in sp if k in ("script", "image", "video"))
-        assert row.pagespeed_data.has_minified_js == any(".min.js" in r for r in ext)
+        css = "\n".join(styles)
+        want_min_css = bool(styles) and len(css.split("\n")) <= 5 and len(css) > 500
+        js = "\n".join(inljs)
+        inline_min = bool(inljs) and len(js.split("\n")) <= 5 and len(js) > 500
+        want_min_js = inline_min or any(".min.js" in r for r in ext)
+        assert row.pagespeed_data.has_minified_css == want_min_css, u
+        assert row.pagespeed_data.has_minified_js == want_min_js, u
         assert row.pagespeed_data.has_render_blocking_resources == (rb > 0)
         assert row.pagespeed_data.has_unoptimized_images == (
             len(imgs) > len(with_dims)
         )
         assert row.pagespeed_data.has_excessive_dom_size == (len(sp) > 1500)
         assert row.pagespeed_data.has_large_network_payloads == (n_res > 50)
-        if row.pagespeed_data.has_minified_js:
-            minjs_hit += 1
+        minjs_hit += want_min_js
+        mincss_hit += want_min_css
+        inline_min_hit += inline_min
     assert minjs_hit > 0  # the framework CDNs serve .min.js
+    assert mincss_hit > 0  # minified single-line style bodies exist
+    assert inline_min_hit > 0  # and minified INLINE js (not just .min.js src)
 
 
 def test_pagespeed(docs):

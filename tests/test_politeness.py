@@ -56,6 +56,47 @@ def test_budget_cap(spark):
     assert sorted(r.seq_in_batch for r in got) == [1, 2, 3, 4]
 
 
+def test_big_batch_has_no_per_crawl_window(spark):
+    """VERDICT r2 #1: above seq_singlepart_threshold the scheduled plan
+    must contain NO window partitioned by crawl_id alone (the ONE active
+    crawl of the north-rule shape would serialize the whole batch through
+    one task) — seq_in_batch comes from the two-phase range-sort stamp.
+    The small path keeps the per-crawl window (bounded by the threshold);
+    both paths must return identical rows."""
+    import re
+
+    rows = []
+    for h in range(6):
+        for i in range(4):
+            rows.append(
+                ("c1", f"https://h{h}/p/{i}", f"h{h}.com", 1, 0.0, len(rows))
+            )
+    eligible = _frontier(spark, rows)
+    budgets = spark.createDataFrame([("c1", 11)], "crawl_id string, remaining int")
+
+    def crawl_window_second_args(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.findall(r"windowspecdefinition\(crawl_id#\d+[^,]*, (\w+)#", plan)
+
+    small = select_fetch_batch(
+        eligible, budgets, CrawlPolicy(quota_per_host=3), n_eligible=len(rows)
+    )
+    # sanity: the regex sees the small path's per-crawl window (ordered by
+    # depth right after the partition key)
+    assert "depth" in crawl_window_second_args(small)
+
+    big = select_fetch_batch(
+        eligible,
+        budgets,
+        CrawlPolicy(quota_per_host=3, seq_singlepart_threshold=0, salt_threshold=0),
+        n_eligible=len(rows),
+    )
+    # every remaining crawl_id-led window must also partition by host
+    assert all(a == "host" for a in crawl_window_second_args(big))
+    key = lambda r: (r.host, r.discovery_seq, r.seq_in_batch)  # noqa: E731
+    assert sorted(map(key, small.collect())) == sorted(map(key, big.collect()))
+
+
 def test_salting_never_splits_quota_wrongly(spark):
     """Hot host with many URLs: exactly quota selected, the global best."""
     rows = [("c1", f"https://hot/p/{i}", "hot", 1, 0.0, 1000 - i) for i in range(200)]
