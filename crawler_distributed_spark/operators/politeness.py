@@ -69,6 +69,7 @@ def select_fetch_batch(
     policy: CrawlPolicy,
     n_eligible: int | None = None,
     host_quotas: DataFrame | None = None,
+    hosts_per_crawl_bound: int | None = None,
 ) -> DataFrame:
     """Pick this batch's fetch set from eligible frontier rows.
 
@@ -111,22 +112,41 @@ def select_fetch_batch(
     else:
         phase2 = ranked.where(F.col("_rn") <= policy.quota_per_host).drop("_rn")
 
-    # --- seq_in_batch stamp + per-crawl budget cap.
+    # --- seq_in_batch stamp + per-crawl budget cap (VERDICT r2 #1).
     # The naive form is a row_number window partitioned by crawl_id — with
-    # ONE active crawl (the north rule's 10^10-frontier shape) that sorts
-    # the ENTIRE scheduled batch through one task. Above
-    # ``seq_singlepart_threshold`` we instead reuse the two-phase
-    # range-sort machinery from operators/sequence.py: one range exchange
-    # ordered by (crawl_id, depth, -priority, discovery_seq) stamps a
-    # GLOBAL consecutive sequence (no single-partition stage), and the
-    # per-crawl 1-based rank falls out by subtracting each crawl's
-    # minimum global seq (a tiny map-side-partial agg, one row per crawl,
-    # broadcast back). Because the range sort leads with crawl_id, every
-    # crawl's rows are consecutive in the global order, so
-    # gseq - min(gseq per crawl) + 1 IS row_number over the per-crawl
-    # window — same (depth, -priority, seq) order, bit-identical trace.
+    # ONE active crawl whose phase-2 output is large, that sorts the
+    # entire scheduled batch through one task. Two paths:
+    #
+    # * window path: safe whenever the window's INPUT per crawl is small.
+    #   Phase 2 already capped rows to quota per (crawl, host), so the
+    #   input is ≤ hosts_per_crawl × quota_per_host — for this engine's
+    #   domain-scoped crawls (exactly 2 allowed hosts, plans/frontier_loop
+    #   _crawl_dim) that is ≤ 2·quota ≈ 10² rows per crawl REGARDLESS of
+    #   frontier size, so the stamp embeds in the same stage with no extra
+    #   jobs. Callers assert this by passing ``hosts_per_crawl_bound``.
+    # * two-phase path (unbounded-crawl escape hatch, e.g. a caller
+    #   without host scoping): reuse the range-sort machinery from
+    #   operators/sequence.py — one range exchange ordered by (crawl_id,
+    #   depth, -priority, discovery_seq) stamps a GLOBAL consecutive
+    #   sequence (no single-partition stage); the per-crawl 1-based rank
+    #   falls out by subtracting each crawl's minimum global seq (a tiny
+    #   map-side-partial agg, broadcast back). Because the range sort
+    #   leads with crawl_id, every crawl's rows are consecutive in the
+    #   global order, so gseq − min(gseq per crawl) + 1 IS row_number
+    #   over the per-crawl window — same (depth, -priority, seq) order,
+    #   bit-identical trace (tests/test_trace_equality.py
+    #   test_scale_paths_trace_equality; tests/test_politeness.py plan
+    #   assertion).
     budgeted = phase2.join(F.broadcast(budgets), "crawl_id")
-    if n_eligible is not None and n_eligible <= policy.seq_singlepart_threshold:
+    window_input_bound = (
+        hosts_per_crawl_bound * policy.quota_per_host
+        if hosts_per_crawl_bound is not None
+        else None
+    )
+    if (
+        window_input_bound is not None
+        and window_input_bound <= policy.seq_singlepart_threshold
+    ) or (n_eligible is not None and n_eligible <= policy.seq_singlepart_threshold):
         crawl_w = Window.partitionBy("crawl_id").orderBy(
             F.col("depth").asc(),
             F.col("priority_score").desc(),

@@ -411,7 +411,12 @@ def run_crawl(
                 ).alias("quota_h"),
             )
         scheduled = select_fetch_batch(
-            eligible, budgets, policy, n_eligible=n_elig, host_quotas=host_quotas
+            eligible, budgets, policy, n_eligible=n_elig, host_quotas=host_quotas,
+            # domain scoping (F4) admits exactly 2 hosts per crawl
+            # (_crawl_dim), so the per-crawl politeness window input is
+            # structurally <= 2*quota rows — the window path stays exact
+            # AND embedded at any frontier size
+            hosts_per_crawl_bound=2,
         )
         # the fetch stage needs max_pages for the sitemap-index early break
         # (domain_spider.py:326-354); tiny broadcast dim join

@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
     )
+    # $SPARK_GRAFT_LOCAL_DIR (e.g. /dev/shm/spark-local): where shuffle
+    # blocks spill. On a real cluster every executor has its own local
+    # disks; on this one-disk box a tmpfs local dir is the honest stand-in
+    # for that per-node bandwidth when measuring SCALING (the default
+    # remains the OS temp dir) — see BENCH/BASELINE.md §3.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if master and master.startswith("spark://"):
         builder = (
             builder.config("spark.cores.max", str(cpus))
