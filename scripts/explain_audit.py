@@ -41,6 +41,12 @@ AUDITS = {
     # explicit candidates the correct plan has ZERO semi-joins; the old
     # post-aggregation-restriction shape had one)
     "ngram_jaccard": ["HashAggregate"],
+    # radius>0 simhash: banded equality self-join, never a cross product
+    "simhash_near_dup": ["HashAggregate", "!CartesianProduct",
+                         "!BroadcastNestedLoopJoin"],
+    # real decode: one Arrow python stage; the only hash exchange is the
+    # explicit id-hash repartition ahead of the CPU-bound decode
+    "multimodal_real_decode": ["<=1:hashpartitioning", "MapInPandas"],
 }
 
 
