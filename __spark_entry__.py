@@ -442,6 +442,87 @@ def _ship_oracle_trace() -> str:
     return path
 
 
+_HEALTH_MAX_BATCHES = 3  # truncate so a non-trivial frontier remains
+
+
+def _ship_oracle_health() -> str:
+    """Run the pure-Python oracle TRUNCATED at _HEALTH_MAX_BATCHES and
+    ship the expected A4 queue-health rows (per-crawl queued / retry
+    backlog / delayed / budget / status) — the engine's purged final
+    frontier state must aggregate to exactly these rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.oracle import run_oracle
+    from crawler_distributed_spark.policy import CrawlPolicy
+
+    path = os.path.join(_SHIP_DIR, "oracle_health.parquet")
+    os.makedirs(_SHIP_DIR, exist_ok=True)
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    seeds = synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES)
+    pol = CrawlPolicy(max_batches=_HEALTH_MAX_BATCHES)
+    res = run_oracle(cfg, seeds, pol)
+    last_batch = _HEALTH_MAX_BATCHES - 1
+    rows = []
+    for s in sorted(seeds, key=lambda s: s["crawl_id"]):
+        cid = s["crawl_id"]
+        left = [e for e in res.frontier_left if e[0] == cid]
+        pages, failed = res.pages_crawled[cid], res.failed_pages[cid]
+        if pages >= s["max_pages"]:
+            status = "completed"
+        elif failed >= pol.max_failed_pages:
+            status = "failed_out"
+        elif not left:
+            status = "exhausted"
+        else:
+            status = "waiting"
+        rows.append(
+            (cid, pages, failed, s["max_pages"], len(left),
+             sum(1 for e in left if e[2] > 0),
+             sum(1 for e in left if e[3] > last_batch), status)
+        )
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "crawl_id": pa.array(cols[0], pa.string()),
+            "pages": pa.array(cols[1], pa.int32()),
+            "failed": pa.array(cols[2], pa.int32()),
+            "max_pages": pa.array(cols[3], pa.int32()),
+            "queued": pa.array(cols[4], pa.int64()),
+            "retry_backlog": pa.array(cols[5], pa.int64()),
+            "delayed": pa.array(cols[6], pa.int64()),
+            "status": pa.array(cols[7], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+def q_queue_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 queue-health view over a mid-run crawl state (truncated at
+    _HEALTH_MAX_BATCHES): the engine's purged frontier + budget state vs
+    the pure-Python oracle's expected rows (independent implementation)."""
+    import shutil
+
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.plans.frontier_loop import run_crawl
+    from crawler_distributed_spark.policy import CrawlPolicy
+
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    seeds = synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES)
+    robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
+    ck = f"{_SHIP_DIR}/ck_health"
+    shutil.rmtree(ck, ignore_errors=True)  # our own scratch dir, always fresh
+    res = run_crawl(
+        spark, cfg, seeds, robots, ck,
+        CrawlPolicy(max_batches=_HEALTH_MAX_BATCHES),
+    )
+    return res.health(spark).orderBy("crawl_id")
+
+
 def q_crawl_trace_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator: the full frontier loop on a small synthetic
     web; returns the ordering trace. The DuckDB oracle reads the shipped
@@ -775,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "crawl_trace_synthetic": q_crawl_trace_synthetic,
+        "queue_health": q_queue_health,
         "minhash_near_dup": q_minhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -897,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
     # writers are deterministic and idempotent)
     trace_path = _ship_oracle_trace()
     span_path = _ship_span_docs()
+    health_path = _ship_oracle_health()
     # page-builder class-token CASE list, generated from the SAME
     # signature table the engine uses (extract/spans.py) so the two
     # sides cannot drift
@@ -1327,6 +1410,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT crawl_id, batch_id, seq_in_batch, url_norm, host, depth
             FROM read_parquet('{trace_path}')
             ORDER BY batch_id, crawl_id, seq_in_batch
+        """,
+        # queue_health: the SQL side reads the PURE-PYTHON oracle's
+        # expected per-crawl health rows computed from ITS final frontier
+        # state — equality proves the engine's purged frontier + budget
+        # state match the independent implementation mid-run.
+        "queue_health": f"""
+            SELECT crawl_id, pages, failed, max_pages, queued,
+                   retry_backlog, delayed, status
+            FROM read_parquet('{health_path}')
+            ORDER BY crawl_id
         """,
         # span_extraction: both sides read the same shipped span-doc corpus;
         # DuckDB recomputes every field with list/lambda SQL.

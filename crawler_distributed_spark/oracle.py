@@ -55,6 +55,10 @@ class OracleResult:
     pages_crawled: dict = field(default_factory=dict)
     failed_pages: dict = field(default_factory=dict)  # crawl_id -> failed attempts
     n_batches: int = 0
+    # A4 queue-health surface: frontier entries left at exit for crawls
+    # still active then — (crawl_id, url_norm, attempts, not_before_batch);
+    # the engine's purged final frontier must equal this multiset
+    frontier_left: list = field(default_factory=list)
 
 
 def _host_of_raw(url: str) -> str:
@@ -346,4 +350,18 @@ def run_oracle(
     res.pages_crawled = pages
     res.failed_pages = failed
     res.n_batches = batch
+    # final-state twin of the engine's purged frontier (frontier_loop
+    # purges rows of crawls that can never be scheduled again)
+    final_active = {
+        c
+        for c in pages
+        if pages[c] < max_pages[c]
+        and failed[c] < policy.max_failed_pages
+        and batch < batch_cap[c]
+    }
+    res.frontier_left = sorted(
+        (e.crawl_id, e.url_norm, e.attempts, e.not_before_batch)
+        for e in queued
+        if e.crawl_id in final_active
+    )
     return res

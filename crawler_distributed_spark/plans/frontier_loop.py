@@ -95,6 +95,8 @@ class CrawlRunResult:
     last_batch: int
     pages_crawled: dict
     batch_seconds: list | None = None  # wall time of each executed batch
+    _max_failed: int = 20              # policy.max_failed_pages at run time
+    _default_cap: int = 1 << 30        # policy.max_batches_per_crawl (or inf)
 
     def _fetched(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_appendonly(spark, self.last_batch, "fetched")
@@ -143,6 +145,54 @@ class CrawlRunResult:
 
     def lineage(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_appendonly(spark, self.last_batch, "lineage")
+
+    def frontier_left(self, spark: SparkSession) -> DataFrame:
+        """Frontier rows remaining at exit (finished crawls purged) —
+        oracle-diffed in tests/test_trace_equality.py. Delta replay
+        records schedules/additions, not finished-crawl purges, so the
+        purge is applied at read time exactly like the resume path."""
+        f = self.store.read_frontier(spark, self.last_batch, _FRONTIER_COLS)
+        b = self.store.read_table(spark, self.last_batch, "budget")
+        active = b.where(
+            (F.col("pages") < F.col("max_pages"))
+            & (F.col("failed") < F.lit(self._max_failed))
+            & (
+                F.lit(self.last_batch + 1)
+                < F.coalesce(F.col("max_batches"), F.lit(self._default_cap))
+            )
+        ).select("crawl_id")
+        return f.join(F.broadcast(active), "crawl_id", "left_semi")
+
+    def health(self, spark: SparkSession) -> DataFrame:
+        """A4 queue-health view (workers/monitor_worker.py:60-120 checks
+        ready/buried counts per tube and warns on backlog): per crawl —
+        queued rows left, retry backlog (attempts>0, the 'buried jobs may
+        need attention' analog), delayed rows (backoff not yet due),
+        pages/failed vs budget, and a status verdict. Host CPU/mem/disk
+        (:121-139 psutil) stay Spark-UI domain by design."""
+        f = self.frontier_left(spark)
+        per_crawl = f.groupBy("crawl_id").agg(
+            F.count("*").alias("queued"),
+            F.sum((F.col("attempts") > 0).cast("long")).alias("retry_backlog"),
+            F.sum(
+                (F.col("not_before_batch") > self.last_batch).cast("long")
+            ).alias("delayed"),
+        )
+        budget = self.store.read_table(spark, self.last_batch, "budget")
+        return budget.join(per_crawl, "crawl_id", "left").select(
+            "crawl_id",
+            "pages",
+            "failed",
+            "max_pages",
+            F.coalesce(F.col("queued"), F.lit(0)).alias("queued"),
+            F.coalesce(F.col("retry_backlog"), F.lit(0)).alias("retry_backlog"),
+            F.coalesce(F.col("delayed"), F.lit(0)).alias("delayed"),
+            F.when(F.col("pages") >= F.col("max_pages"), F.lit("completed"))
+            .when(F.col("failed") >= F.lit(self._max_failed), F.lit("failed_out"))
+            .when(F.coalesce(F.col("queued"), F.lit(0)) == 0, F.lit("exhausted"))
+            .otherwise(F.lit("waiting"))
+            .alias("status"),
+        )
 
 
 def _table_exists(store: BatchStore, batch_id: int, table: str) -> bool:
@@ -779,7 +829,10 @@ def run_crawl(
 
         batch_seconds.append(round(time.time() - _bt0, 2))
         if stop_after_batch is not None and batch >= stop_after_batch:
-            return CrawlRunResult(store, batch, _pages_dict(budget_state), batch_seconds)
+            return CrawlRunResult(
+                store, batch, _pages_dict(budget_state), batch_seconds,
+                policy.max_failed_pages, _default_cap,
+            )
         batch += 1
 
     # final commit so the terminal state is always durable
@@ -789,4 +842,7 @@ def run_crawl(
         store.write_table(budget_state, final, "budget")
         store.write_table(strat_state, final, "strategy")
         store.commit(final, {"next_seq": next_seq})
-    return CrawlRunResult(store, final, _pages_dict(budget_state), batch_seconds)
+    return CrawlRunResult(
+        store, final, _pages_dict(budget_state), batch_seconds,
+        policy.max_failed_pages, _default_cap,
+    )

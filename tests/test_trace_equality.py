@@ -218,6 +218,37 @@ def test_sparse_checkpoint_bloom_off_resume(spark, tmp_path, oracle_result):
     assert seen == oracle_result.seen
 
 
+def test_final_frontier_state_and_health(spark, tmp_path):
+    """A4 queue-health surface: on a max_batches-truncated run the
+    engine's purged final frontier must equal the oracle's remaining
+    queue as a (crawl, url, attempts, not_before) multiset, and the
+    health view must aggregate it with the right budget/status."""
+    pol = CrawlPolicy(max_batches=4)
+    d = str(tmp_path / "hlth_ck")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    eng = run_crawl(spark, CFG, SEEDS, robots, d, pol)
+    orc = run_oracle(CFG, SEEDS, pol)
+    got = sorted(
+        (r.crawl_id, r.url_norm, int(r.attempts), int(r.not_before_batch))
+        for r in eng.frontier_left(spark).collect()
+    )
+    want = [(c, u, int(a), int(nb)) for (c, u, a, nb) in orc.frontier_left]
+    assert got == want
+    assert got, "truncated run must leave frontier rows (else this is vacuous)"
+    health = {r.crawl_id: r for r in eng.health(spark).collect()}
+    for cid, pages in orc.pages_crawled.items():
+        h = health[cid]
+        left = [e for e in orc.frontier_left if e[0] == cid]
+        assert (h.pages, h.failed) == (pages, orc.failed_pages[cid])
+        assert h.queued == len(left)
+        assert h.retry_backlog == sum(1 for e in left if e[2] > 0)
+        assert h.delayed == sum(1 for e in left if e[3] > eng.last_batch)
+        if pages >= 8:
+            assert h.status == "completed"
+        elif left:
+            assert h.status == "waiting"
+
+
 def test_per_crawl_batch_budget(spark, tmp_path):
     """Q6 CLOSESPIDER_TIMEOUT analog (settings.py:75-76), deterministic:
     one crawl carries max_batches=2 and must stop scheduling AND admitting
