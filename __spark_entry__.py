@@ -801,6 +801,28 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the MinHash-LSH near-dup pair
+    graph: iterative min-label propagation (Spark's standard connected-
+    components shape) assigns every paired doc its cluster's minimum doc
+    id — the keep-one-per-cluster step of a dedup pipeline. The DuckDB
+    oracle computes true components with a recursive transitive-closure
+    CTE over the identical pair set, so early-exit/iteration-bound bugs
+    hash-fail here."""
+    from crawler_distributed_spark.pipelines.dedup import (
+        dup_clusters,
+        minhash_near_dup_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    pairs = minhash_near_dup_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        portable=True,
+        max_bucket=100,
+    )
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over the MinHash-LSH candidate pairs — the
     verify stage of the near-dup pipeline (candidates → shingles join,
@@ -858,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace_synthetic": q_crawl_trace_synthetic,
         "queue_health": q_queue_health,
         "minhash_near_dup": q_minhash_near_dup,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dup_groups": q_simhash_dup_groups,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1224,6 +1247,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": f"""
             WITH {_MINHASH_CTES}
             SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "ngram_jaccard": f"""
             WITH {_MINHASH_CTES},

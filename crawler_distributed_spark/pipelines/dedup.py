@@ -282,6 +282,65 @@ def simhash_near_dup_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a near-dup
+    pair graph — the keep-one-document-per-cluster step of a dedup
+    pipeline (pairs in, (doc_id, cluster_id = min doc id reachable) out).
+
+    Iterative min-label propagation (the standard Spark shape for CC, cf.
+    GraphFrames/GraphX): every node's label starts as its own id; each
+    round takes min(own label, neighbors' labels); converges in diameter
+    rounds. Each round is one shuffle join + one map-side-partial agg —
+    no all-pairs, no driver-side graph. Near-dup clusters are small dense
+    cliques, so real corpora converge in 2-3 rounds; ``max_iters`` is a
+    runaway bound, and the loop exits on the first unchanged round
+    (one tiny count per round — deterministic, data-defined).
+
+    Output: (doc_id, cluster_id) for every doc that appears in ``pairs``
+    (columns ``doc_a``/``doc_b``)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
+            )
+            .where(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

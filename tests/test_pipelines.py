@@ -104,6 +104,17 @@ def test_embedding_band_join_sheds_vectors(spark):
     assert df.count() >= 0
 
 
+def test_dup_clusters_chain_converges(spark):
+    """Connected components over a pair CHAIN (needs >1 propagation round:
+    0-1, 1-2, 2-3 plus a disjoint 10-11) — every member must resolve to
+    its component's minimum id, and untouched ids must not appear."""
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
