@@ -765,12 +765,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode over codec-free binary payloads: the engine
-    byte-parses BMP/PPM images and PCM WAV audio (numpy kernel,
+    """REAL media decode over binary payloads: the engine byte-parses
+    BMP/PPM/PNG images (png = stdlib zlib inflate + five-filter scanline
+    reconstruction) and PCM WAV audio (numpy kernel,
     pipelines/multimodal.py) while the DuckDB oracle recomputes every
     feature from the corpus' generative formulas in closed form — the
-    encoder and decoder must agree bit-for-bit through float32. png/mp4
-    rows stay on the declared md5-fake path with decode_ok=0."""
+    encoder and decoder must agree bit-for-bit through float32. Only mp4
+    rows stay on the declared md5-fake path with decode_ok=0 (no ffmpeg
+    in this container)."""
     from crawler_distributed_spark.pipelines.multimodal import (
         extract_features,
         synth_media_docs_real,
@@ -1381,8 +1383,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_real_decode: closed-form recomputation of the real
         # decode features from synth_media_docs_real's generative formulas
-        # — the Spark side actually byte-parses the BMP/PPM/WAV payloads,
-        # so any encoder/decoder disagreement hash-fails here. Every dim is
+        # — the Spark side actually byte-parses the BMP/PPM/PNG/WAV
+        # payloads (png via zlib + scanline unfiltering), so any
+        # encoder/decoder disagreement hash-fails here. Every dim is
         # quantized through FLOAT4 (the engine stores float32).
         "multimodal_real_decode": """
             WITH m AS (SELECT i, i % 5 AS fmt, printf('m%05d', i) AS media_id
@@ -1397,7 +1400,7 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT avg((7*i+y+80) % 256) FROM range(15) s(y) WHERE y < 6 + (i%4)*3) / 255.0 AS g5,
                      (8 + (i%3)*4)::DOUBLE / (6 + (i%4)*3) AS g6,
                      0.0 AS g7
-              FROM m WHERE fmt IN (0, 1)),
+              FROM m WHERE fmt IN (0, 1, 3)),
             wavf AS (
               SELECT media_id, 1 AS decode_ok,
                      2.0 AS g0,
@@ -1417,7 +1420,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT media_id,
                      ('0x' || substr(md5(repeat('media-' || i::VARCHAR,
                                                 (4 + (i%7))::INT)), 1, 15))::BIGINT AS b
-              FROM m WHERE fmt IN (3, 4)),
+              FROM m WHERE fmt = 4),
             fakef AS (
               SELECT media_id, 0 AS decode_ok,
                      ((b >> 0) & 255) / 255.0 AS g0,  ((b >> 3) & 255) / 255.0 AS g1,

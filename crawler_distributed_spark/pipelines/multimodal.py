@@ -2,12 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode/feature-extraction runs as Arrow-batched ``mapInPandas``. The
-decode kernel is REAL for the codec-free container formats — BMP and PPM
+decode kernel is REAL for every stdlib-decodable format — BMP and PPM
 images and PCM WAV audio are parsed from raw bytes with struct + numpy
-(header decode, pixel/sample extraction, channel means / RMS features).
-Formats that need external codec libraries (png via PIL, mp4 via ffmpeg
-— neither in this container) fall back to a deterministic md5 fake and
-are flagged ``decode_ok=False``.
+(header decode, pixel/sample extraction, channel means / RMS features),
+and PNG via stdlib zlib + full five-filter scanline reconstruction. The
+one format that needs an external codec library (mp4 via ffmpeg — not in
+this container) falls back to a deterministic md5 fake and is flagged
+``decode_ok=False``.
 
 At 100 TB the rules encoded here are: media bytes travel in their own
 column (never exploded per-frame into rows until after sampling), the
@@ -53,9 +54,10 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg are not in this container
-# codec-free formats the numpy kernel decodes for real (header parse +
-# frombuffer — no external library)
-NUMPY_DECODABLE = frozenset({"bmp", "ppm", "wav"})
+# formats the stdlib/numpy kernel decodes for real (header parse +
+# frombuffer; png additionally via stdlib zlib + scanline unfiltering —
+# still no external library)
+NUMPY_DECODABLE = frozenset({"bmp", "ppm", "wav", "png"})
 
 
 # ---------------------------------------------------------------------------
@@ -121,22 +123,172 @@ def decode_ppm(payload: bytes):
     """Parse a binary P6 PPM → (w, h, float64 HxWx3 RGB array) or None."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    import re
+
+    # header = magic, width, height, maxval, each terminated by whitespace;
+    # the pixel body starts exactly one whitespace byte after the maxval
+    # token (spec), so the offset comes from the matched header END — not
+    # from the payload tail — and trailing junk is rejected instead of
+    # silently shifting the pixels
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[:64])
+    if m is None:
         return None
-    # header = magic, width, height, maxval as whitespace-separated tokens
-    parts = payload.split(maxsplit=4)
-    if len(parts) < 5:
-        return None
-    try:
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    except ValueError:
-        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255 or w <= 0 or h <= 0:
         return None
-    body = payload[len(payload) - w * h * 3:]
-    if len(body) != w * h * 3:
+    header_end = m.end()
+    if len(payload) != header_end + w * h * 3:
         return None
+    body = payload[header_end:]
     return w, h, np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(rgb_rows: "list[list[tuple[int, int, int]]]") -> bytes:
+    """Minimal 8-bit truecolor PNG (color type 2, no interlace) — stdlib
+    struct + zlib only. The per-scanline filter type cycles 0..4 by row
+    index so every one of the five PNG filters (None/Sub/Up/Average/
+    Paeth) appears in the stream and the decoder's unfiltering is
+    genuinely exercised, not just the trivial filter-0 path."""
+    import struct
+    import zlib
+
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    bpp = 3  # bytes per pixel (RGB8)
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(rgb_rows):
+        line = bytes(c for px in row for c in px)
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(len(line))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[x] - prev[x]) & 0xFF for x in range(len(line)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[x] - (((line[x - bpp] if x >= bpp else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (line[x] - _paeth(line[x - bpp] if x >= bpp else 0,
+                                  prev[x],
+                                  prev[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(len(line))
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit truecolor PNG → (w, h, float64 HxWx3 RGB array) or
+    None. Chunk walk → IHDR parse → IDAT concat → zlib.decompress → all
+    five scanline filters reconstructed (spec §6: None/Sub/Up/Average/
+    Paeth). stdlib zlib + numpy, no codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < len(_PNG_SIG) + 25 or not payload.startswith(_PNG_SIG):
+        return None
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) != size:
+            return None
+        if ctype == b"IHDR":
+            if size != 13:
+                return None
+            w, h, depth, ctype_px, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            # only the profile we claim: 8-bit RGB, deflate, adaptive
+            # filtering, no interlace
+            if depth != 8 or ctype_px != 2 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if w is None or not idat or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        ft, line = int(filters[y]), lines[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:  # Sub: sequential in x, vectorize over the 3 channels
+            for x in range(stride):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = line
+        elif ft == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = line
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+            out[y] = line
+        else:
+            return None
+    return w, h, out.reshape(h, w, 3).astype(np.float64)
 
 
 def encode_wav(samples: "list[int]", sample_rate: int = 8000) -> bytes:
@@ -171,12 +323,13 @@ def decode_wav(payload: bytes):
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if audio_fmt != 1 or channels != 1 or bits != 16 or sample_rate == 0:
                 return None
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if sample_rate is None or data is None:
+    # odd data length = truncated/corrupt PCM16 — reject, never frombuffer
+    if sample_rate is None or data is None or len(data) % 2 != 0:
         return None
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
     return len(samples), sample_rate, samples
@@ -188,20 +341,28 @@ def _real_decode_feature(payload: bytes | None, fmt: str | None, dims: int):
     images (bmp/ppm): [1, w, h, meanR/255, meanG/255, meanB/255, w/h, 0...]
     audio (wav):      [2, n, rate/1000, rms/2048, mean/2048, max|s|/2048,
                        n/rate, 0...]
-    Unsupported format or parse failure → md5 fake, decode_ok=False."""
+    Unsupported format or parse failure → md5 fake, decode_ok=False. The
+    decoders validate before every frombuffer/division, and the dispatch
+    is belt-and-braces wrapped so a malformed payload can NEVER raise out
+    of the mapInPandas task — it degrades to the fake path."""
     import math
 
     decoded = None
     if payload is not None and fmt in NUMPY_DECODABLE:
-        if fmt == "bmp":
-            decoded = decode_bmp(payload)
-        elif fmt == "ppm":
-            decoded = decode_ppm(payload)
-        elif fmt == "wav":
-            decoded = decode_wav(payload)
+        try:
+            if fmt == "bmp":
+                decoded = decode_bmp(payload)
+            elif fmt == "ppm":
+                decoded = decode_ppm(payload)
+            elif fmt == "wav":
+                decoded = decode_wav(payload)
+            elif fmt == "png":
+                decoded = decode_png(payload)
+        except Exception:
+            decoded = None
     if decoded is None:
         return _fake_decode_feature(payload, dims), False
-    if fmt in ("bmp", "ppm"):
+    if fmt in ("bmp", "ppm", "png"):
         w, h, px = decoded
         means = px.mean(axis=(0, 1))  # per-channel, exact for ints < 2^53
         feats = [1.0, float(w), float(h), means[0] / 255.0, means[1] / 255.0,
@@ -234,10 +395,11 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature pass over (media_id, payload, meta).
 
-    ``real_decode=True`` parses BMP/PPM/WAV payloads for real (numpy
-    header+body decode, per-channel means / RMS features; decode_ok=True);
-    formats needing PIL/ffmpeg (png, mp4 — not in this container) fall
-    back to the md5 fake with decode_ok=False. ``real_decode=False`` is
+    ``real_decode=True`` parses BMP/PPM/PNG/WAV payloads for real (numpy
+    header+body decode, zlib inflate + scanline unfiltering for png,
+    per-channel means / RMS features; decode_ok=True); the one format
+    needing ffmpeg (mp4 — not in this container) falls back to the md5
+    fake with decode_ok=False. ``real_decode=False`` is
     the pure deterministic stub for every row (decode_ok=True — the stub
     IS the declared kernel there)."""
     import numpy as np
@@ -289,30 +451,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
-    """Synthetic media corpus with REAL codec-free payloads: valid BMP and
-    PPM images and PCM16 WAV audio built by the encoders above, plus fake
-    png/mp4 rows for the still-stubbed codec formats.
+    """Synthetic media corpus with REAL payloads: valid BMP, PPM and PNG
+    images and PCM16 WAV audio built by the encoders above, plus fake mp4
+    rows for the one still-codec-blocked format (no ffmpeg in container).
 
     Generative formulas (the SQL oracle recomputes features from these in
     closed form, so encoder and decoder cross-check each other):
       format cycle  i%5 -> bmp, ppm, wav, png, mp4
-      image (bmp/ppm): w = 8+(i%3)*4, h = 6+(i%4)*3; every pixel of row y
-        has R=(7i+y)%256, G=(7i+y+40)%256, B=(7i+y+80)%256
+      image (bmp/ppm/png): w = 8+(i%3)*4, h = 6+(i%4)*3; every pixel of
+        row y has R=(7i+y)%256, G=(7i+y+40)%256, B=(7i+y+80)%256
       audio (wav): rate=8000, n_s = 200+(i%7)*40, s[t] = ((13i+37t)%4001)-2000
-      png/mp4: payload = b"media-{i}" * (4+i%7)  (md5-fake feature path)
+      mp4: payload = b"media-{i}" * (4+i%7)  (md5-fake feature path)
     """
     rows = []
     for i in range(n):
         fmt = ("bmp", "ppm", "wav", "png", "mp4")[i % 5]
         w = h = dur = None
-        if fmt in ("bmp", "ppm"):
+        if fmt in ("bmp", "ppm", "png"):
             mt = "image"
             w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 3
             rgb = [
                 [((7 * i + y) % 256, (7 * i + y + 40) % 256, (7 * i + y + 80) % 256)] * w
                 for y in range(h)
             ]
-            payload = encode_bmp(rgb) if fmt == "bmp" else encode_ppm(rgb)
+            payload = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[fmt](rgb)
         elif fmt == "wav":
             mt = "audio"
             n_s = 200 + (i % 7) * 40
@@ -320,11 +482,10 @@ def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
                 [((13 * i + 37 * t) % 4001) - 2000 for t in range(n_s)], 8000
             )
             dur = n_s * 1000 // 8000
-        else:
-            mt = "image" if fmt == "png" else "video"
+        else:  # mp4 — codec-blocked, declared fake
+            mt = "video"
             payload = bytes(f"media-{i}", "utf-8") * (4 + i % 7)
-            if fmt == "mp4":
-                dur = 1000 * (1 + i % 10)
+            dur = 1000 * (1 + i % 10)
         rows.append(
             (
                 f"m{i:05d}",

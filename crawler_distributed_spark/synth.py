@@ -787,8 +787,8 @@ def spans_of(
 
 def _inline_js_body(cfg: SynthConfig, url_norm: str, k: int, size: int) -> str:
     """Inline <script> body: optionally leads with a third-party service
-    signature snippet, then deterministic filler to ~size chars; 1/4 are
-    'minified' (single line) for the W13 heuristic."""
+    signature snippet, then deterministic filler to ~size chars; 1/2 are
+    'minified' (single line, `jsmin` hash % 2) for the W13 heuristic."""
     parts = []
     if _h(cfg.seed, "jssig", url_norm, k) % 3 == 0:
         parts.append(

@@ -100,8 +100,12 @@ def test_embedding_band_join_sheds_vectors(spark):
     for blk in blocks:
         if blk.startswith("Exchange") and ("band_id" in blk or "sig#" in blk):
             assert "embedding" not in blk, f"band exchange carries vectors:\n{blk}"
-    # and the operator still finds the obvious self-similar structure
-    assert df.count() >= 0
+    # and the operator still finds the planted self-similar structure:
+    # sin(i*0.31 + d*1.7) has period ~20.27 in i, so e.g. vectors 1 and 21
+    # are nearly identical — some high-cosine pair must survive banding
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    assert got, "near-identical planted vectors produced no pairs"
+    assert any(abs(a - b) in (20, 41, 61) for a, b in got), got
 
 
 def test_dup_clusters_chain_converges(spark):
@@ -242,8 +246,9 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_codec_roundtrips():
-    """BMP/PPM/WAV encoders and decoders are exact inverses (the decode
-    path parses raw bytes — no library, no generative shortcut)."""
+    """BMP/PPM/PNG/WAV encoders and decoders are exact inverses (the
+    decode path parses raw bytes — stdlib zlib for png's inflate, no
+    codec library, no generative shortcut)."""
     import numpy as np
 
     rgb = [[(10 + y, (50 + 3 * y) % 256, (90 + 7 * y) % 256)] * 13 for y in range(9)]
@@ -251,6 +256,7 @@ def test_codec_roundtrips():
     for enc, dec in (
         (multimodal.encode_bmp, multimodal.decode_bmp),
         (multimodal.encode_ppm, multimodal.decode_ppm),
+        (multimodal.encode_png, multimodal.decode_png),
     ):
         w, h, px = dec(enc(rgb))
         assert (w, h) == (13, 9)
@@ -263,8 +269,9 @@ def test_codec_roundtrips():
 
 def test_real_decode_features_vs_numpy_oracle(spark):
     """real_decode=True parses the binary payloads and must reproduce the
-    features an independent numpy recomputation gives; png/mp4 rows fall
-    back to the declared md5 fake with decode_ok=False."""
+    features an independent numpy recomputation gives; only mp4 rows fall
+    back to the declared md5 fake with decode_ok=False (png is decoded
+    for real via zlib + scanline unfiltering)."""
     import math
 
     media = multimodal.synth_media_docs_real(spark, n=20)
@@ -274,7 +281,7 @@ def test_real_decode_features_vs_numpy_oracle(spark):
     for i in range(20):
         r = got[f"m{i:05d}"]
         fmt = ("bmp", "ppm", "wav", "png", "mp4")[i % 5]
-        if fmt in ("bmp", "ppm"):
+        if fmt in ("bmp", "ppm", "png"):
             w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 3
             mean_r = sum((7 * i + y) % 256 for y in range(h)) / h
             assert r.decode_ok
@@ -296,10 +303,20 @@ def test_real_decode_malformed_payloads():
     """Truncated/garbage payloads must degrade to the fake path, never
     raise (a crawler meets malformed media constantly)."""
     ok_bmp = multimodal.encode_bmp([[(1, 2, 3)] * 4] * 4)
+    ok_png = multimodal.encode_png([[(1, 2, 3)] * 4] * 4)
+    ok_wav = multimodal.encode_wav([0, 1, 2], 8000)
     for payload, fmt in [
         (b"", "bmp"), (None, "wav"), (b"BM\x01", "bmp"), (ok_bmp[:30], "bmp"),
         (b"P6\n4 4\n255\nshort", "ppm"), (b"RIFFxxxx", "wav"),
         (ok_bmp, "wav"),  # wrong-format dispatch
+        # ADVICE r3: malformed WAV variants that used to RAISE out of the task
+        (b"RIFF\x10\x00\x00\x00WAVEdata\x03\x00\x00\x00abc", "wav"),  # odd PCM bytes, no fmt
+        (ok_wav.replace((8000).to_bytes(4, "little"), (0).to_bytes(4, "little")), "wav"),  # rate=0
+        # ADVICE r3: PPM with trailing junk must be rejected, not decode shifted pixels
+        (multimodal.encode_ppm([[(1, 2, 3)] * 4] * 4) + b"JUNK", "ppm"),
+        # png malformed variants
+        (b"\x89PNG\r\n\x1a\nnot-chunks", "png"), (ok_png[:40], "png"),
+        (ok_png[:33] + b"\x00" * (len(ok_png) - 33), "png"),  # corrupt IDAT
     ]:
         feats, ok = multimodal._real_decode_feature(payload, fmt, 8)
         assert not ok and len(feats) == 8
