@@ -13,10 +13,12 @@ admission runs exactly once per discovered link, as one declarative plan:
 
 Scale notes: the filter conjunction is evaluated before the canonicalize
 UDF, so the Arrow exchange only sees survivors. The seen anti-join keys on
-(crawl_id, url_hash) — at 10^10 both sides are bucketed on url_hash so this
-is a co-partitioned join; the bloom prefilter (seen_filter.py) cuts the
-probe side before the shuffle. Robots rules are a per-host dimension table,
-always broadcast.
+(crawl_id, url_norm); the compacted seen copy is a BUCKETED table
+hash-clustered on exactly those keys (storage.compact_seen), so at 10^10
+the big side scans in place with no exchange — only the O(batch) probe
+(already cut by the bloom prefilter, seen_filter.py) and the O(recent)
+delta side move. Robots rules are a per-host dimension table, always
+broadcast.
 """
 
 from __future__ import annotations
@@ -136,33 +138,62 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
     )
 
 
+def _anti_seen(probe: DataFrame, url_seen) -> DataFrame:
+    """The exact seen anti-join. ``url_seen`` is either one DataFrame
+    (legacy / tests) or a storage.SeenParts:
+
+    - vs ``compacted`` (the 10^10-row side at scale): the compacted copy
+      is a bucketed-table read hash-clustered + sorted on exactly the
+      join keys, so this anti-join plans with NO exchange and no full
+      sort on the seen side — only the O(batch) probe shuffles
+      (SURVEY.md §4 physical-plan choice #1).
+    - vs ``deltas`` (O(recent batches) rows): a second anti-join; the
+      probe side already carries hashpartitioning(crawl_id, url_norm)
+      from the first join, so only the small delta side moves (AQE
+      broadcasts it outright when it fits).
+    """
+    from ..storage import SeenParts
+
+    if isinstance(url_seen, SeenParts):
+        out = probe
+        if url_seen.compacted is not None:
+            out = out.join(
+                url_seen.compacted.select("crawl_id", "url_norm"),
+                on=["crawl_id", "url_norm"],
+                how="left_anti",
+            )
+        if url_seen.deltas is not None:
+            out = out.join(
+                url_seen.deltas.select("crawl_id", "url_norm"),
+                on=["crawl_id", "url_norm"],
+                how="left_anti",
+            )
+        return out
+    return probe.join(
+        url_seen.select("crawl_id", "url_norm"),
+        on=["crawl_id", "url_norm"],
+        how="left_anti",
+    )
+
+
 def filter_unseen(
-    deduped: DataFrame, url_seen: DataFrame, bloom: DataFrame | None = None
+    deduped: DataFrame, url_seen, bloom: DataFrame | None = None
 ) -> DataFrame:
     """C4: drop URLs already in the seen set.
 
     With a bloom table (operators/seen_filter.py): bloom misses are
     provably novel and bypass the join entirely; only bloom hits (true
     seen + false positives) go through the exact anti-join. Without one:
-    plain anti-join."""
+    plain anti-join. ``url_seen``: DataFrame or storage.SeenParts (see
+    _anti_seen for the at-scale plan shape)."""
     if bloom is not None:
         from .seen_filter import bloom_split
 
         tagged = bloom_split(deduped, bloom)
         novel = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
-        return novel.unionByName(
-            maybe.join(
-                url_seen.select("crawl_id", "url_norm"),
-                on=["crawl_id", "url_norm"],
-                how="left_anti",
-            )
-        )
-    return deduped.join(
-        url_seen.select("crawl_id", "url_norm"),
-        on=["crawl_id", "url_norm"],
-        how="left_anti",
-    )
+        return novel.unionByName(_anti_seen(maybe, url_seen))
+    return _anti_seen(deduped, url_seen)
 
 
 def aggregate_robots_rules(robots_rules: DataFrame) -> DataFrame:
@@ -214,7 +245,7 @@ def gate_robots(unseen: DataFrame, robots_rules: DataFrame) -> DataFrame:
 
 def admit(
     candidates: DataFrame,
-    url_seen: DataFrame,
+    url_seen,  # DataFrame | storage.SeenParts
     robots_rules: DataFrame,
     bloom: DataFrame | None = None,
 ) -> DataFrame:

@@ -655,10 +655,11 @@ def run_crawl(
             )
         )
 
-        # the seen set: newest compacted copy + the few deltas since it
-        # (storage.read_seen) — probed by the anti-join; the periodic
-        # compaction keeps this read O(compact_every) files, not O(#batches)
-        seen = store.read_seen(spark, batch - 1)
+        # the seen set, split for the anti-join (storage.read_seen_parts):
+        # the bucketed compacted copy scans with NO exchange on its side,
+        # deltas ride as a small second anti-join; the periodic compaction
+        # keeps this read O(compact_every) files, not O(#batches)
+        seen = store.read_seen_parts(spark, batch - 1)
 
         # materialization #2: the admission pipeline, straight into parquet
         admitted = admit(candidates, seen, robots_agg, bloom=bloom)

@@ -20,12 +20,26 @@ point is this module only).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import tempfile
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SeenParts(NamedTuple):
+    """The seen set split for the admission anti-join (SURVEY.md §4
+    physical-plan choice #1): ``compacted`` is a BUCKETED-table read —
+    hash-clustered on the join keys, so the exact anti-join plans with
+    NO exchange on this (10^10-row-at-scale) side; ``deltas`` is the
+    O(recent-batches) union since the last compaction, small enough that
+    AQE broadcasts it. Either may be None."""
+
+    compacted: DataFrame | None
+    deltas: DataFrame | None
 
 
 class BatchStore:
@@ -156,14 +170,24 @@ class BatchStore:
     # The admission anti-join probes the union of per-batch `admitted`
     # deltas; without compaction that read is O(#batches) directories per
     # batch (O(N²) I/O over a run). Every compact_every batches the union
-    # is rewritten once, hash-spread on xxhash64(url_norm), into
-    # <root>/compacted/upto=<k>/ (atomic dir rename = commit), and
-    # read_seen() then unions [compacted] + the few deltas since k.
-    # Deltas stay on disk (they also serve trace/lineage reads); at real
-    # scale this whole block is the Iceberg MERGE swap point.
+    # is rewritten once as a BUCKETED table — hash-clustered AND sorted on
+    # (crawl_id, url_norm), the anti-join keys — into
+    # <root>/compacted/upto=<k>/ (atomic dir rename = commit).
+    # read_seen_parts() re-registers the bucket spec in the session
+    # catalog, so the exact anti-join scans the compacted copy with its
+    # bucket layout exposed: NO exchange (and no sort beyond a cheap
+    # per-bucket pass) on the big side — only the O(batch) probe and the
+    # O(recent-deltas) side move. Deltas stay on disk (they also serve
+    # trace/lineage reads); at real scale this whole block is the Iceberg
+    # MERGE / storage-partitioned-join swap point.
 
     def compacted_dir(self) -> str:
         return os.path.join(self.root, "compacted")
+
+    def _digest(self) -> str:
+        """Stable per-checkpoint-root suffix for catalog table names (the
+        session catalog is shared across stores in tests)."""
+        return hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
 
     def _compacted_upto(self, limit: int) -> int | None:
         best = None
@@ -179,8 +203,12 @@ class BatchStore:
 
     def compact_seen(self, spark: SparkSession, upto_batch: int, n_buckets: int = 32) -> None:
         """Rewrite the seen set (crawl_id, url_norm) up to ``upto_batch``
-        into one hash-spread compacted copy. Idempotent; crash-safe via
-        tmp-dir + atomic rename."""
+        into one BUCKETED compacted copy: ``bucketBy(n, crawl_id,
+        url_norm).sortBy(...)`` — pre-repartitioned on the same keys so
+        each bucket lands as exactly one file. Idempotent; crash-safe via
+        tmp-dir + atomic rename (saveAsTable writes to the tmp path as an
+        external table; the throwaway catalog entry is dropped metadata-
+        only, the files move)."""
         import shutil as _sh
 
         from pyspark.sql import functions as _F
@@ -193,21 +221,84 @@ class BatchStore:
             return
         tmp = os.path.join(self.compacted_dir(), f".tmp-{upto_batch}")
         _sh.rmtree(tmp, ignore_errors=True)
+        tmp_tbl = f"_seen_tmp_{self._digest()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
         (
             df.select("crawl_id", "url_norm")
-            .repartition(n_buckets, _F.xxhash64("url_norm"))
-            .write.mode("overwrite")
-            .parquet(tmp)
+            .repartition(n_buckets, _F.col("crawl_id"), _F.col("url_norm"))
+            .write.bucketBy(n_buckets, "crawl_id", "url_norm")
+            .sortBy("crawl_id", "url_norm")
+            .option("path", tmp)
+            .mode("overwrite")
+            .saveAsTable(tmp_tbl)
         )
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay in tmp
+        with open(os.path.join(tmp, "_bucketspec.json"), "w") as f:
+            json.dump({"n_buckets": n_buckets,
+                       "bucket_cols": ["crawl_id", "url_norm"]}, f)
         os.replace(tmp, final)
-        # drop superseded compacted copies (their deltas still exist)
+        # drop superseded compacted copies (their deltas still exist) and
+        # their now-dangling catalog registrations
         for name in list(os.listdir(self.compacted_dir())):
             if name.startswith("upto=") and int(name.split("=", 1)[1]) < upto_batch:
                 _sh.rmtree(os.path.join(self.compacted_dir(), name), ignore_errors=True)
+                spark.sql(
+                    "DROP TABLE IF EXISTS "
+                    f"seen_c_{self._digest()}_{name.split('=', 1)[1]}"
+                )
+
+    def read_seen_parts(self, spark: SparkSession, upto_batch: int) -> SeenParts:
+        """The seen set as of ``upto_batch``, split for the anti-join:
+        the newest compacted copy read THROUGH the catalog with its
+        bucket spec (scan exposes hashpartitioning(crawl_id, url_norm) →
+        the anti-join needs no exchange on this side), plus the few
+        admitted deltas after it as a plain union. The table is
+        re-registered drop+create each call — metadata-only on the
+        in-memory catalog, and immune to stale relation caches across
+        resume/rollback."""
+        base = self._compacted_upto(upto_batch)
+        compacted = None
+        delta_paths = []
+        start = -1
+        if base is not None:
+            d = os.path.join(self.compacted_dir(), f"upto={base}")
+            spec_path = os.path.join(d, "_bucketspec.json")
+            if os.path.exists(spec_path):
+                with open(spec_path) as f:
+                    spec = json.load(f)
+                tbl = f"seen_c_{self._digest()}_{base}"
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                spark.sql(
+                    f"CREATE TABLE {tbl} (crawl_id STRING, url_norm STRING) "
+                    f"USING parquet "
+                    f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+                    f"SORTED BY (crawl_id, url_norm) "
+                    f"INTO {spec['n_buckets']} BUCKETS "
+                    f"LOCATION '{d}'"
+                )
+                compacted = spark.table(tbl)
+            else:
+                # legacy pre-bucketed compacted copy: treat as a delta
+                delta_paths.append(d)
+            start = base + 1
+        delta_paths += [
+            self.table_path(k, "admitted")
+            for k in range(start, upto_batch + 1)
+            if os.path.isdir(self.table_path(k, "admitted"))
+        ]
+        deltas = (
+            spark.read.parquet(*delta_paths).select("crawl_id", "url_norm")
+            if delta_paths
+            else None
+        )
+        return SeenParts(compacted, deltas)
 
     def read_seen(self, spark: SparkSession, upto_batch: int) -> DataFrame | None:
-        """The (crawl_id, url_norm) seen set as of ``upto_batch``: the
-        newest compacted copy plus only the deltas after it."""
+        """The (crawl_id, url_norm) seen set as of ``upto_batch`` as ONE
+        DataFrame: the newest compacted copy plus only the deltas after
+        it. Path-based read (no bucket metadata) — for non-join consumers
+        (bloom rebuild, verification); the anti-join uses
+        read_seen_parts()."""
         base = self._compacted_upto(upto_batch)
         paths = []
         if base is not None:

@@ -47,6 +47,51 @@ AUDITS = {
     # real decode: one Arrow python stage; the only hash exchange is the
     # explicit id-hash repartition ahead of the CPU-bound decode
     "multimodal_real_decode": ["<=1:hashpartitioning", "MapInPandas"],
+    # VERDICT r3 #1: the compacted seen copy is a bucketed table on the
+    # anti-join keys; the seen-side scan must feed the join with NO
+    # exchange above it (noexch: walks the plan tree), i.e. the
+    # 10^10-row side never re-shuffles per batch
+    "seen_bucketed_antijoin": [
+        "Bucketed: true",
+        "noexch:Scan parquet spark_catalog.default.seen_c_",
+    ],
+}
+
+
+def _build_seen_bucketed_antijoin(spark, sf_dir):
+    """Not a driver query (it needs a BatchStore on disk): builds the
+    admission anti-join against a freshly compacted BUCKETED seen copy +
+    a post-compaction delta, with broadcast disabled so the plan is the
+    big-side shape a 10^10-row seen set gets."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawler_distributed_spark.operators.admission import filter_unseen
+    from crawler_distributed_spark.storage import BatchStore
+
+    store = BatchStore(tempfile.mkdtemp(prefix="audit_seen_"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("crawl_id"),
+        F.concat(F.lit("https://h.example.com/p/"), F.col("id").cast("string")).alias("url_norm"),
+    )
+    store.write_table(mk(0, 5000), 0, "admitted")
+    store.compact_seen(spark, 0, n_buckets=8)
+    store.write_table(mk(5000, 5200), 1, "admitted")
+    probe = spark.range(0, 10000, 2).select(
+        F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("crawl_id"),
+        F.concat(F.lit("https://h.example.com/p/"), F.col("id").cast("string")).alias("url_norm"),
+    )
+    return filter_unseen(probe, store.read_seen_parts(spark, 1))
+
+
+# plans audited outside the driver-query contract; value = (builder,
+# {conf overrides applied while the plan is generated})
+EXTRA_PLANS = {
+    "seen_bucketed_antijoin": (
+        _build_seen_bucketed_antijoin,
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 }
 
 
@@ -62,8 +107,21 @@ def main() -> int:
     qs = entry.queries()
     names = sys.argv[1:] or list(AUDITS)
     failures = 0
+    from crawler_distributed_spark.plans.plan_checks import no_exchange_above
+
     for name in names:
-        plan = plan_of(qs[name](spark, SF_DIR))
+        if name in EXTRA_PLANS:
+            builder, confs = EXTRA_PLANS[name]
+            saved = {k: spark.conf.get(k) for k in confs}
+            try:
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+                plan = plan_of(builder(spark, SF_DIR))
+            finally:
+                for k, v in saved.items():
+                    spark.conf.set(k, v)
+        else:
+            plan = plan_of(qs[name](spark, SF_DIR))
         print(f"\n===== {name} =====")
         print(plan[:4000])
         for marker in AUDITS.get(name, []):
@@ -75,6 +133,10 @@ def main() -> int:
                 n = plan.count(m)
                 ok = n <= int(bound)
                 print(f"  audit count:{m}<={bound}: {'OK' if ok else f'{n} (fail)'}")
+            elif marker.startswith("noexch:"):
+                ok = no_exchange_above(plan, marker[len("noexch:"):])
+                print(f"  audit no-exchange-above:{marker[7:]}: "
+                      f"{'OK' if ok else 'EXCHANGE PRESENT (fail)'}")
             else:
                 ok = marker in plan
                 print(f"  audit {marker}: {'OK' if ok else 'MISSING'}")
