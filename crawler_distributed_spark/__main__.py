@@ -59,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     n_seen = seen_df.count()
     out = {
         "last_batch": res.last_batch,
-        "pages_crawled": res.pages_crawled,
+        "pages_crawled": res.pages_dict(spark),
         "trace_rows": n_trace,
         "seen_urls": n_seen,
         "elapsed_sec": round(elapsed, 2),

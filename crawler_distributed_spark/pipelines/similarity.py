@@ -84,13 +84,23 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
 
 
 def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
-    """b-bit random-hyperplane signature as a long."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (_dot(vec_col, arr) >= 0).cast("long")
-        sig = sig + bit * F.lit(2**i).cast("long")
-    return sig
+    """b-bit random-hyperplane signature as a long.
+
+    Dimension-scalable form (VERDICT r3 #4): ONE nested array literal +
+    a transform/aggregate fold instead of b per-plane `F.array(lit...)`
+    columns — Catalyst constant-folds the literal into a single
+    ArrayType Literal node, so the optimized plan has O(1) expression
+    nodes regardless of dim×bits (the old form put O(dim·bits) literal
+    nodes through codegen and blew up at real embedding dims). The bit
+    weight 2^i is computed as pow(2.0, i) cast to long — exact for
+    i < 53, far above any usable signature width."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p, i: (_dot(vec_col, p) >= 0).cast("long")
+        * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_topk(
@@ -262,23 +272,40 @@ def ivf_topk(
         .where(F.col("_rn") == 1)
         .select(vec_col, "_cent_id")
     )
-    sums = [
-        F.sum(
-            F.floor(F.col(vec_col).getItem(d).cast("double") * 1000).cast("long")
-        ).alias(f"_s{d}")
-        for d in range(dim)
-    ]
+    # Cell means, dimension-scalable (VERDICT r3 #4): posexplode the
+    # quantized vector and aggregate per (cell, dim_idx) — the agg is
+    # map-side partial, so the shuffle carries O(partitions × cells × dim)
+    # partial sums, same volume as the old per-dim column form but with
+    # O(1) plan width instead of O(dim) aggregate expressions. The means
+    # are reassembled into an array via array_sort(collect_list(struct)),
+    # which totals on the explicit _pos key — deterministic. Arithmetic is
+    # bit-identical to the old form: floor(sum(floor(v*1000)) / n) in
+    # integer domain.
+    exploded = assigned0.select(
+        "_cent_id",
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("_pos", "_q"),
+    )
     lloyd = (
-        assigned0.groupBy("_cent_id")
-        .agg(F.count("*").alias("_n"), *sums)
+        exploded.groupBy("_cent_id", "_pos")
+        .agg(F.sum("_q").alias("_s"), F.count("*").alias("_n"))
+        .groupBy("_cent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos"),
+                        F.floor(F.col("_s") / F.col("_n")).cast("double").alias("_m"),
+                    )
+                )
+            ).alias("_pm")
+        )
         .select(
-            "_cent_id",
-            F.array(
-                *[
-                    F.floor(F.col(f"_s{d}") / F.col("_n")).cast("double")
-                    for d in range(dim)
-                ]
-            ).alias("_lvec"),
+            "_cent_id", F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_lvec")
         )
     )
     cent = seed_cent.join(lloyd, "_cent_id", "left").select(

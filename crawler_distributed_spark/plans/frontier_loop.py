@@ -93,10 +93,22 @@ def _is_page():
 class CrawlRunResult:
     store: BatchStore
     last_batch: int
-    pages_crawled: dict
     batch_seconds: list | None = None  # wall time of each executed batch
     _max_failed: int = 20              # policy.max_failed_pages at run time
     _default_cap: int = 1 << 30        # policy.max_batches_per_crawl (or inf)
+
+    def budget(self, spark: SparkSession) -> DataFrame:
+        """Per-crawl budget state (pages/failed/max_pages/max_batches) as
+        a DataFrame — the run path returns tables, never O(#crawls)
+        driver dicts (r3 #7; at the 10^7-crawl shape a collect here would
+        serialize the run end)."""
+        return self.store.read_table(spark, self.last_batch, "budget")
+
+    def pages_dict(self, spark: SparkSession) -> dict:
+        """{crawl_id: pages} driver-side convenience for tests and CLI
+        summaries; the O(#crawls) collect happens only when a call site
+        explicitly asks for it."""
+        return {r["crawl_id"]: r["pages"] for r in self.budget(spark).collect()}
 
     def _fetched(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_appendonly(spark, self.last_batch, "fetched")
@@ -144,7 +156,15 @@ class CrawlRunResult:
         )
 
     def lineage(self, spark: SparkSession) -> DataFrame | None:
-        return self.store.read_appendonly(spark, self.last_batch, "lineage")
+        """Per-partition lineage + metrics rows, journaled with the
+        frontier deltas (one write job per batch — r3 #3)."""
+        j = self.store.read_appendonly(spark, self.last_batch, "frontier_delta")
+        if j is None:
+            return None
+        return j.where(F.col("_op") == "lineage").select(
+            "batch_id", "partition_id", "rows_in", "rows_fetched",
+            "rows_deduped", "rows_admitted", "commit_ts",
+        )
 
     def frontier_left(self, spark: SparkSession) -> DataFrame:
         """Frontier rows remaining at exit (finished crawls purged) —
@@ -199,10 +219,6 @@ def _table_exists(store: BatchStore, batch_id: int, table: str) -> bool:
     import os
 
     return os.path.isdir(store.table_path(batch_id, table))
-
-
-def _pages_dict(budget_state: DataFrame) -> dict:
-    return {r["crawl_id"]: r["pages"] for r in budget_state.collect()}
 
 
 def _crawl_dim(spark: SparkSession, seeds: list[dict]) -> DataFrame:
@@ -494,19 +510,19 @@ def run_crawl(
             )
         fetched = store.read_table(spark, batch, "fetched")
 
-        budget_rows = (
-            fetched if policy.count_scheduled_in_budget else fetched.where(_is_page())
+        # ONE aggregation pass over the fetched read for both budget
+        # deltas (pages) and fail deltas (r3 #3: every separate
+        # post-fetch agg is a per-batch fixed cost the thin tail pays)
+        page_pred = (
+            F.lit(True) if policy.count_scheduled_in_budget else _is_page()
         )
-        deltas = budget_rows.groupBy("crawl_id").agg(F.count("*").alias("_n"))
-        fail_deltas = (
-            fetched.where(F.col("status") >= 400)
-            .groupBy("crawl_id")
-            .agg(F.count("*").alias("_f"))
+        deltas = fetched.groupBy("crawl_id").agg(
+            F.sum(page_pred.cast("long")).alias("_n"),
+            F.sum((F.col("status") >= 400).cast("long")).alias("_f"),
         )
         with _timed("budget update"):
             budget_state = (
                 budget_state.join(deltas, "crawl_id", "left")
-                .join(fail_deltas, "crawl_id", "left")
                 .select(
                     "crawl_id",
                     (F.col("pages") + F.coalesce(F.col("_n"), F.lit(0)))
@@ -700,7 +716,11 @@ def run_crawl(
         elig_obs = Observation(f"elig-{batch}")
         with _timed("frontier checkpoint"):
             frontier = (
-                frontier.join(scheduled.select("discovery_seq"), "discovery_seq", "left_anti")
+                # scheduled seqs come from the MATERIALIZED fetched table
+                # (1:1 with the scheduled rows) — re-deriving them from
+                # the lazy `scheduled` plan would recompute the whole
+                # politeness stage inside this job
+                frontier.join(fetched.select("discovery_seq"), "discovery_seq", "left_anti")
                 .select(*_FRONTIER_COLS)
                 .unionByName(retries)
                 .unionByName(_finish_frontier_rows(queued_new))
@@ -730,14 +750,20 @@ def run_crawl(
             n_admitted = int(em["n_new"] or 0)
         next_seq += n_admitted
 
-        # durable frontier DELTA — O(batch), written every batch: the
-        # scheduled seqs leave ('rm', from the materialized fetched
-        # table), retries + new admissions enter ('add'). Full O(frontier)
-        # snapshots happen only every frontier_snapshot_every batches;
-        # storage.read_frontier replays deltas over the newest snapshot
-        # (the Iceberg MERGE equivalent — at a 10^10-row frontier the
-        # per-batch durable cost must not be O(frontier))
-        with _timed("frontier delta write"):
+        # durable per-batch JOURNAL — O(batch), ONE write job (r3 #3: the
+        # separate frontier_delta + lineage writes were two of the ~4
+        # fixed per-batch jobs dragging the thin-wave tail). Rows:
+        #   'rm'      — the scheduled seqs leave (from the materialized
+        #               fetched table)
+        #   'add'     — retries + new admissions enter
+        #   'lineage' — per-partition lineage + metrics (north rule),
+        #               null frontier columns
+        # Full O(frontier) snapshots happen only every
+        # frontier_snapshot_every batches; storage.read_frontier replays
+        # the 'rm'/'add' rows over the newest snapshot (the Iceberg MERGE
+        # equivalent — at a 10^10-row frontier the per-batch durable cost
+        # must not be O(frontier)) and ignores 'lineage' rows.
+        with _timed("journal write"):
             _ftypes = {f.name: f.dataType for f in frontier.schema.fields}
             add_rows = retries.unionByName(
                 _finish_frontier_rows(queued_new).select(*_FRONTIER_COLS)
@@ -750,35 +776,32 @@ def run_crawl(
                     for c in _FRONTIER_COLS
                 ]
             ).withColumn("_op", F.lit("rm"))
+            lineage = (
+                fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("rows_fetched"),
+                    F.sum(_is_page().cast("long")).alias("rows_ok"),
+                )
+                .select(
+                    F.lit(batch).cast("long").alias("batch_id"),
+                    F.col("partition_id"),
+                    F.lit(n_elig).cast("long").alias("rows_in"),
+                    F.col("rows_fetched").cast("long"),
+                    F.col("rows_ok").cast("long").alias("rows_deduped"),
+                    F.lit(n_admitted).cast("long").alias("rows_admitted"),
+                    F.lit(
+                        datetime.datetime.now(datetime.timezone.utc).isoformat()
+                    ).alias("commit_ts"),
+                    F.lit("lineage").alias("_op"),
+                )
+            )
             store.write_table(
-                rm_rows.unionByName(add_rows).withColumn(
-                    "_b", F.lit(batch).cast("long")
-                ),
+                rm_rows.unionByName(add_rows)
+                .withColumn("_b", F.lit(batch).cast("long"))
+                .unionByName(lineage, allowMissingColumns=True),
                 batch,
                 "frontier_delta",
             )
-
-        # --- per-partition lineage (north rule)
-        lineage = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("rows_fetched"),
-                F.sum(_is_page().cast("long")).alias("rows_ok"),
-            )
-            .select(
-                F.lit(batch).cast("long").alias("batch_id"),
-                "partition_id",
-                F.lit(n_elig).cast("long").alias("rows_in"),
-                F.col("rows_fetched").cast("long"),
-                F.col("rows_ok").cast("long").alias("rows_deduped"),
-                F.lit(n_admitted).cast("long").alias("rows_admitted"),
-                F.lit(
-                    datetime.datetime.now(datetime.timezone.utc).isoformat()
-                ).alias("commit_ts"),
-            )
-        )
-        with _timed("lineage write"):
-            store.write_table(lineage, batch, "lineage")
 
         if policy.autothrottle:
             # EWMA update from this batch's observed latencies (all
@@ -831,7 +854,7 @@ def run_crawl(
         batch_seconds.append(round(time.time() - _bt0, 2))
         if stop_after_batch is not None and batch >= stop_after_batch:
             return CrawlRunResult(
-                store, batch, _pages_dict(budget_state), batch_seconds,
+                store, batch, batch_seconds,
                 policy.max_failed_pages, _default_cap,
             )
         batch += 1
@@ -844,6 +867,6 @@ def run_crawl(
         store.write_table(strat_state, final, "strategy")
         store.commit(final, {"next_seq": next_seq})
     return CrawlRunResult(
-        store, final, _pages_dict(budget_state), batch_seconds,
+        store, final, batch_seconds,
         policy.max_failed_pages, _default_cap,
     )

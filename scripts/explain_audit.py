@@ -55,7 +55,33 @@ AUDITS = {
         "Bucketed: true",
         "noexch:Scan parquet spark_catalog.default.seen_c_",
     ],
+    # VERDICT r3 #4: ANN kernels at real embedding dims — corpus
+    # assignment + probe joins stay broadcasts at dim=256 and the plan
+    # carries NO per-dimension aggregate columns (the old Lloyd form
+    # materialized _s0.._s255; plan-width invariance across dims is
+    # asserted exactly in tests/test_pipelines.py::
+    # test_ann_dim256_and_plan_width_invariance)
+    "ann_ivf_dim256": ["BroadcastHashJoin", "!_s17", "!_s250"],
 }
+
+
+def _build_ann_ivf_dim256(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawler_distributed_spark.pipelines.similarity import ivf_topk
+
+    dim = 256
+    rows = [
+        (i, [math.sin(i * 0.31 + d * 1.7) for d in range(dim)])
+        for i in range(100)
+    ]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = c.where(F.col("vec_id").isin(3, 42)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(c, q, dim=dim, k=3, n_centroids=8, nprobe=4)
 
 
 def _build_seen_bucketed_antijoin(spark, sf_dir):
@@ -92,6 +118,7 @@ EXTRA_PLANS = {
         _build_seen_bucketed_antijoin,
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    "ann_ivf_dim256": (_build_ann_ivf_dim256, {}),
 }
 
 

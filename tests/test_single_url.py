@@ -32,7 +32,7 @@ def test_single_url_crawl(spark, tmp_path):
     # exactly one fetch (the target URL), nothing else ever scheduled
     assert len(trace) == 1
     assert trace[0].url_norm == target
-    assert res.pages_crawled == {"single-000": 1}
+    assert res.pages_dict(spark) == {"single-000": 1}
     # outlinks were seen-gated but not admitted (crawl went inactive)
     frontier = res.store.read_table(spark, res.last_batch, "frontier")
     assert frontier.count() == 0

@@ -60,8 +60,8 @@ def test_robots_blocked_equality(spark, engine_result, oracle_result):
     assert blocked == want
 
 
-def test_pages_crawled_equality(engine_result, oracle_result):
-    assert engine_result.pages_crawled == oracle_result.pages_crawled
+def test_pages_crawled_equality(spark, engine_result, oracle_result):
+    assert engine_result.pages_dict(spark) == oracle_result.pages_crawled
 
 
 def test_span_sequence_equality(spark, engine_result):
