@@ -111,6 +111,9 @@ def run_oracle(
     # floor(quota / (1+ewma))), AutoThrottle's target-concurrency analog
     # made batch-deterministic)
     ewma: dict[str, float] = {}
+    # batch of each host's last observation — drives TTL eviction
+    # (policy.autothrottle_ttl_batches; engine twin: host_lat.last_b)
+    ewma_last: dict[str, int] = {}
     next_seq = 0
 
     # --- seed admission, in sorted-crawl_id order (engine parity)
@@ -319,6 +322,15 @@ def run_oracle(
                     )
                 else:
                     ewma[h] = m
+                ewma_last[h] = batch
+            if policy.autothrottle_ttl_batches:
+                # TTL eviction, identical to the engine's host_lat filter:
+                # a host idle > ttl batches leaves the state; its EWMA
+                # re-seeds from the first observed batch mean on return
+                ttl = policy.autothrottle_ttl_batches
+                for h in [h for h, lb in ewma_last.items() if batch - lb > ttl]:
+                    del ewma[h]
+                    del ewma_last[h]
 
         # outlink admission: filters -> canonicalize -> batch dedup -> seen -> robots
         admissions.sort(key=lambda a: (a[0], a[1]))

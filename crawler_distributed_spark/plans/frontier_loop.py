@@ -404,7 +404,7 @@ def run_crawl(
         store.read_table(spark, last, "hostlat")
         if policy.autothrottle and _table_exists(store, last, "hostlat")
         else (
-            spark.createDataFrame([], "host string, ewma double")
+            spark.createDataFrame([], "host string, ewma double, last_b long")
             if policy.autothrottle
             else None
         )
@@ -819,8 +819,22 @@ def run_crawl(
                     .when(F.col("_m").isNotNull(), F.col("_m"))
                     .otherwise(F.col("ewma"))
                     .alias("ewma"),
+                    F.when(F.col("_m").isNotNull(), F.lit(batch).cast("long"))
+                    .otherwise(F.col("last_b"))
+                    .alias("last_b"),
                 )
             )
+            if policy.autothrottle_ttl_batches:
+                # TTL eviction (r3 #8): hosts idle > ttl batches leave the
+                # state table — host_lat is bounded by the active-host set
+                # of the trailing window, not the 10^8-host crawl lifetime.
+                # The EWMA re-seeds from the first batch mean on return
+                # (the `_m is not null & ewma is null` branch above);
+                # oracle.py applies the identical rule at the same point.
+                host_lat = host_lat.where(
+                    F.lit(batch) - F.col("last_b")
+                    <= F.lit(policy.autothrottle_ttl_batches)
+                )
             host_lat = _maybe_ck(host_lat, batch)
 
         if policy.use_bloom:

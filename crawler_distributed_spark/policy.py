@@ -68,6 +68,16 @@ class CrawlPolicy:
                                  # next batch's quota (deterministic; default
                                  # off to keep the reference-politeness trace)
     ewma_alpha: float = 0.5      # EWMA smoothing for autothrottle
+    autothrottle_ttl_batches: int = 64  # P2 state hygiene: a host with no
+                                 # scheduled fetch for more than this many
+                                 # batches is EVICTED from the EWMA state
+                                 # (bounds host_lat to hosts active in the
+                                 # window — at 10^8 lifetime hosts the state
+                                 # table must not grow monotonically); the
+                                 # EWMA re-seeds from the first observed
+                                 # batch mean when the host returns. Oracle
+                                 # and engine implement identical semantics.
+                                 # 0 = never evict.
     sitemap_now_date: str = "2024-06-01"  # frozen clock for sitemap recency
                                           # scoring (reference uses now(),
                                           # SURVEY.md §4 determinism substitution)

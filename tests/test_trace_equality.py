@@ -175,6 +175,44 @@ def test_autothrottle_trace_equality(spark, tmp_path):
     assert orc.trace != base.trace
 
 
+def test_autothrottle_ttl_eviction(spark, tmp_path):
+    """P2 state hygiene (r3 #8): with autothrottle_ttl_batches set, a host
+    idle for more than ttl batches is EVICTED from the EWMA state and its
+    EWMA re-seeds from the first observed batch mean when it returns — so
+    host_lat is bounded by the trailing active-host window, not the 10^8
+    lifetime host count. Three gates: (1) engine trace+seen still equal
+    the oracle with eviction ON; (2) eviction is semantics-bearing on this
+    workload (trace differs from the never-evict run — the re-seeded EWMA
+    changes a later quota); (3) the persisted hostlat state only holds
+    hosts observed within the ttl window (bounded), strictly fewer than
+    the hosts the crawl ever touched."""
+    cfg = synth.SynthConfig(n_hosts=6, pages_base=30, hot_factor=2, branching=3)
+    seeds = synth.seed_rows(cfg, max_pages=20)
+    pol = CrawlPolicy(autothrottle=True, quota_per_host=2, autothrottle_ttl_batches=2)
+    robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
+    eng = run_crawl(spark, cfg, seeds, robots, str(tmp_path / "ttl_ck"), pol)
+    orc = run_oracle(cfg, seeds, pol)
+    assert _engine_trace(spark, eng) == sorted(
+        orc.trace, key=lambda t: (t[1], t[0], t[2])
+    )
+    seen = {}
+    for r in eng.seen(spark).collect():
+        seen.setdefault(r.crawl_id, set()).add(r.url_norm)
+    assert seen == orc.seen
+    # (2) the eviction actually rewrote history on this workload
+    no_ttl = run_oracle(
+        cfg, seeds,
+        CrawlPolicy(autothrottle=True, quota_per_host=2, autothrottle_ttl_batches=0),
+    )
+    assert orc.trace != no_ttl.trace
+    # (3) bounded state: every surviving row is within the ttl window of
+    # the final batch, and hosts that went idle early are gone
+    hl = eng.store.read_table(spark, eng.last_batch, "hostlat").collect()
+    hosts_ever = {t[4] for t in orc.trace}
+    assert 0 < len(hl) < len(hosts_ever)
+    assert all(eng.last_batch - r.last_b <= pol.autothrottle_ttl_batches for r in hl)
+
+
 def test_scale_paths_trace_equality(spark, tmp_path):
     """Force the at-scale physical paths on the small corpus: salted
     two-phase politeness pre-filter (salt_threshold=0) AND the two-phase
