@@ -34,10 +34,17 @@ def stream_crawl(
     checkpoint_dir: str,
     policy: CrawlPolicy = CrawlPolicy(),
     max_ticks: int = 10_000,
+    stop_after_batch: int | None = None,
 ) -> CrawlRunResult:
     """Drive the crawl via a streaming ticker; returns when the frontier
     drains (or after max_ticks). Each tick advances at most one batch by
-    calling run_crawl(resume=True, stop_after_batch=<next>)."""
+    calling run_crawl(resume=True, stop_after_batch=<next>).
+
+    ``stop_after_batch`` is the deterministic kill switch (same contract
+    as the batch loop's): the ticker refuses to start any batch past it,
+    leaving a mid-crawl checkpoint a second ``stream_crawl`` on the same
+    directory resumes from — the kill/resume equality gate in
+    tests/test_streaming.py runs through this."""
     state = {"done": False, "result": None, "started": False}
 
     def tick(_df: DataFrame, _epoch: int) -> None:
@@ -49,6 +56,9 @@ def stream_crawl(
         last = store.last_committed()
         resume = state["started"] or last is not None
         nxt = (last + 1) if last is not None else 0
+        if stop_after_batch is not None and nxt > stop_after_batch:
+            state["done"] = True
+            return
         res = run_crawl(
             spark, cfg, seeds, robots_rules, checkpoint_dir, policy,
             resume=resume, stop_after_batch=nxt,
