@@ -92,13 +92,20 @@ def filter_candidates(candidates: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_candidates(filtered: DataFrame) -> DataFrame:
+def canonicalize_candidates(
+    filtered: DataFrame, n_rows_hint: int | None = None
+) -> DataFrame:
     """C1 over the filter survivors. Explicitly hash-respread first: the
     canonicalize UDF is CPU-bound Python, and AQE coalesces the upstream
     explode/filter output by BYTES (a few MB of URL strings → 1-2
     partitions), which would serialize the Arrow stage — the same
-    countermeasure the fetch stage takes (operators/fetch.py:56)."""
+    countermeasure the fetch stage takes (operators/fetch.py:56).
+    ``n_rows_hint`` (an upper bound on the candidate count) caps the
+    partition count at ~1k rows/task so thin batches skip the empty-task
+    overhead; per-row-pure values, so the split never affects output."""
     n_part = int(filtered.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_rows_hint is not None:
+        n_part = max(1, min(n_part, -(-int(n_rows_hint) // 1024)))
     filtered = filtered.repartition(n_part, "crawl_id", "raw_url")
     return filtered.withColumn("url_norm", canonicalize_udf("raw_url")).withColumn(
         "host", host_col(F.col("url_norm"))
@@ -248,11 +255,13 @@ def admit(
     url_seen,  # DataFrame | storage.SeenParts
     robots_rules: DataFrame,
     bloom: DataFrame | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Full admission pipeline. Output columns: crawl_id, url_norm, host,
-    parent_seq, link_idx, depth, robots_ok."""
+    parent_seq, link_idx, depth, robots_ok. ``n_rows_hint``: optional
+    upper bound on the candidate count (see canonicalize_candidates)."""
     filtered = filter_candidates(candidates)
-    canon = canonicalize_candidates(filtered)
+    canon = canonicalize_candidates(filtered, n_rows_hint=n_rows_hint)
     deduped = dedup_in_batch(canon)
     unseen = filter_unseen(deduped, url_seen, bloom)
     return gate_robots(unseen, robots_rules)

@@ -60,7 +60,9 @@ _RAW_FIELDS = [
 ]
 
 
-def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
+def fetch_scheduled(
+    scheduled: DataFrame, cfg: synth.SynthConfig, n_rows_hint: int | None = None
+) -> DataFrame:
     """Append fetch-result columns (status, content_type, doc_id, outlinks,
     spans) to the scheduled batch.
 
@@ -68,8 +70,16 @@ def fetch_scheduled(scheduled: DataFrame, cfg: synth.SynthConfig) -> DataFrame:
     upstream politeness windows' output by BYTE size (a few MB → 1-2
     partitions), which would serialize this CPU-bound stage — per-URL cost,
     not bytes, is what matters here. The repartition also sets the file
-    count of the fetched parquet, keeping downstream admission parallel."""
+    count of the fetched parquet, keeping downstream admission parallel.
+
+    ``n_rows_hint`` (an upper bound on the batch's row count, e.g. the
+    eligible-frontier count) caps the partition count at ~1k rows/task so
+    thin batches don't pay (shuffle.partitions − needed) empty python-worker
+    spin-ups per job. Values are per-row pure, so the split never affects
+    output."""
     n_part = int(scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_rows_hint is not None:
+        n_part = max(1, min(n_part, -(-int(n_rows_hint) // 1024)))
     scheduled = scheduled.repartition(n_part, "url_hash")
     out_schema = T.StructType(list(scheduled.schema.fields) + _RAW_FIELDS)
 

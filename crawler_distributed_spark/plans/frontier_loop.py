@@ -499,10 +499,14 @@ def run_crawl(
             ),
         ).drop("fail_batches")
 
-        # materialization #1: politeness + fetch, straight into parquet
+        # materialization #1: politeness + fetch, straight into parquet.
+        # n_rows_hint caps the Arrow-stage partition count by the batch's
+        # row count: fat waves keep full parallelism, thin tail waves stop
+        # paying (shuffle.partitions − needed) empty python tasks per job —
+        # a pure per-batch-floor cut (partitioning never affects values).
         with _timed("fetch+schedule write"):
             store.write_table(
-                fetch_scheduled(scheduled, cfg).withColumn(
+                fetch_scheduled(scheduled, cfg, n_rows_hint=n_elig).withColumn(
                     "batch_id", F.lit(batch).cast("long")
                 ),
                 batch,
@@ -677,10 +681,31 @@ def run_crawl(
         # keeps this read O(compact_every) files, not O(#batches)
         seen = store.read_seen_parts(spark, batch - 1)
 
-        # materialization #2: the admission pipeline, straight into parquet
-        admitted = admit(candidates, seen, robots_agg, bloom=bloom)
+        # materialization #2: the admission pipeline, straight into parquet.
+        # The bloom split is a pure optimization (novel rows bypass the
+        # exact join; output is identical with or without it) — below
+        # bloom_split_min eligible rows its two cogroup exchanges cost more
+        # than the anti-join they shave, so thin batches skip it. The
+        # admitted row count rides the write as an Observation (no extra
+        # job) and gates the bloom delta build below.
+        use_split = bloom is not None and n_elig >= policy.bloom_split_min
+        admitted = admit(
+            candidates,
+            seen,
+            robots_agg,
+            bloom=bloom if use_split else None,
+            n_rows_hint=n_elig * max(1, cfg.branching),
+        )
+        adm_obs = Observation(f"adm-{batch}")
         with _timed("admission write"):
-            store.write_table(_admitted_wide(admitted, batch), batch, "admitted")
+            store.write_table(
+                _admitted_wide(admitted, batch).observe(
+                    adm_obs, F.count(F.lit(1)).alias("n")
+                ),
+                batch,
+                "admitted",
+            )
+        n_admitted_rows = int(adm_obs.get["n"] or 0)
         admitted_r = store.read_table(spark, batch, "admitted")
 
         robots_ok_rows = admitted_r.where("robots_ok")
@@ -748,6 +773,7 @@ def run_crawl(
         pending = (int(em["elig"] or 0), em["next_nb"])
         if n_admitted is None:
             n_admitted = int(em["n_new"] or 0)
+        seq_floor = next_seq  # this batch's new admissions carry seq >= this
         next_seq += n_admitted
 
         # durable per-batch JOURNAL — O(batch), ONE write job (r3 #3: the
@@ -765,9 +791,32 @@ def run_crawl(
         # must not be O(frontier)) and ignores 'lineage' rows.
         with _timed("journal write"):
             _ftypes = {f.name: f.dataType for f in frontier.schema.fields}
-            add_rows = retries.unionByName(
-                _finish_frontier_rows(queued_new).select(*_FRONTIER_COLS)
-            ).withColumn("_op", F.lit("add"))
+            # `add` rows = retries + this batch's new admissions, read back
+            # from the just-checkpointed frontier's CACHED blocks instead of
+            # re-running the stamp/window plan (pre-r4 this job re-executed
+            # the whole with_sequence + sha2 pipeline a second time — pure
+            # duplicated per-row work). Retries are exactly the frontier
+            # rows whose seq was scheduled this batch; new rows carry
+            # seq >= seq_floor. Rows of crawls purged by next_active are
+            # absent here, which is read-equivalent: budgets are monotone,
+            # so every journal consumer (read_frontier replay at resume,
+            # frontier_left) re-applies the same purge at read time.
+            add_rows = (
+                frontier.join(
+                    fetched.select("discovery_seq").withColumn(
+                        "_sch", F.lit(True)
+                    ),
+                    "discovery_seq",
+                    "left",
+                )
+                .where(
+                    (F.col("discovery_seq") >= F.lit(seq_floor))
+                    | F.col("_sch").isNotNull()
+                )
+                .drop("_sch")
+                .select(*_FRONTIER_COLS)
+                .withColumn("_op", F.lit("add"))
+            )
             rm_rows = fetched.select(
                 *[
                     F.col(c)
@@ -837,7 +886,10 @@ def run_crawl(
                 )
             host_lat = _maybe_ck(host_lat, batch)
 
-        if policy.use_bloom:
+        if policy.use_bloom and n_admitted_rows:
+            # a batch that admitted nothing (common in the thin tail)
+            # contributes no new seen rows — the delta build + OR-merge
+            # cogroup would be two no-op python stages; skip them outright
             with _timed("bloom merge"):
                 delta = build_bloom_delta(
                     admitted_r.select("url_norm"), n_buckets=policy.bloom_buckets

@@ -84,6 +84,12 @@ class CrawlPolicy:
     use_bloom: bool = True       # partitioned bloom pre-filter ahead of the
                                  # seen anti-join (bloom misses bypass the join)
     bloom_buckets: int = 64      # bloom bitmap partitioning width
+    bloom_split_min: int = 2048  # eligible rows below which the bloom SPLIT
+                                 # is skipped (plain anti-join — identical
+                                 # output; the split's two cogroup exchanges
+                                 # cost more than they shave on thin batches).
+                                 # The bloom delta build/merge still runs
+                                 # every admitting batch regardless.
     compact_seen_every: int = 16  # rewrite the admitted-delta union into one
                                   # hash-spread seen table every N committed
                                   # batches; keeps the per-batch anti-join read
