@@ -441,8 +441,14 @@ def run_crawl(
     pending: tuple | None = None
     while batch < policy.max_batches:
         _bt0 = time.time()
+        # budgets carries max_pages too: the fetch stage needs it for the
+        # sitemap-index early break (domain_spider.py:326-354), and budget
+        # state already holds it — carrying it here saves a second
+        # per-batch O(#crawls) broadcast build (the former crawls-dim join)
         budgets = budget_state.where(_active_pred(batch)).select(
-            "crawl_id", (F.col("max_pages") - F.col("pages")).alias("remaining")
+            "crawl_id",
+            (F.col("max_pages") - F.col("pages")).alias("remaining"),
+            "max_pages",
         )
 
         avail = frontier.join(F.broadcast(budgets), "crawl_id")
@@ -466,7 +472,9 @@ def run_crawl(
                 continue
             break
 
-        eligible = avail.where(F.col("not_before_batch") <= batch).drop("remaining")
+        eligible = avail.where(F.col("not_before_batch") <= batch).drop(
+            "remaining", "max_pages"
+        )
         host_quotas = None
         if policy.autothrottle:
             host_quotas = host_lat.select(
@@ -484,11 +492,7 @@ def run_crawl(
             # AND embedded at any frontier size
             hosts_per_crawl_bound=2,
         )
-        # the fetch stage needs max_pages for the sitemap-index early break
-        # (domain_spider.py:326-354); tiny broadcast dim join
-        scheduled = scheduled.join(
-            F.broadcast(crawls.select("crawl_id", "max_pages")), "crawl_id", "left"
-        )
+        # (max_pages rides the budgets broadcast — scheduled already has it)
         # P6: effective strategy = host escalation level ∨ per-URL 403
         # force-proxy carried on the frontier row (retry_middleware.py:33-55)
         scheduled = scheduled.join(strat_state, ["crawl_id", "host"], "left").withColumn(
@@ -620,6 +624,9 @@ def run_crawl(
                 "crawl_id",
                 F.col("discovery_seq").alias("parent_seq"),
                 (F.col("depth") + 1).alias("depth"),
+                # max_pages rides the fetched row (scheduled carries it from
+                # the budgets broadcast) — no per-batch crawls-dim join here
+                "max_pages",
                 F.explode("sitemap_entries").alias("e"),
             )
             .withColumn(
@@ -638,7 +645,6 @@ def run_crawl(
                 )
                 - 1,
             )
-            .join(F.broadcast(crawls.select("crawl_id", "max_pages")), "crawl_id")
             .where(F.col("link_idx") < F.col("max_pages"))
             .select(
                 "crawl_id", "parent_seq", "depth", "link_idx",
@@ -659,20 +665,20 @@ def run_crawl(
             )
             .withColumn("priority_score", F.lit(0.0))
         )
-        # active-crawl restriction via broadcast semi-join on the budget
-        # state (an isin() literal list would break the plan at 10^4+ crawls)
+        # active-crawl restriction + F4 scoping dim, as ONE broadcast: the
+        # allowed-hosts dim semi-filtered by the active budget set (an
+        # isin() literal list would break the plan at 10^4+ crawls; two
+        # separate broadcasts were two O(#crawls) per-batch build jobs —
+        # the inner join against the pre-filtered dim is equivalent)
         active_df = budget_state.where(_active_pred(batch)).select("crawl_id")
+        cand_dim = crawls.select(
+            "crawl_id", "allowed_host_1", "allowed_host_2"
+        ).join(active_df, "crawl_id", "left_semi")
         candidates = (
             parsed.unionByName(redirected).unionByName(sm)
             .withColumn("is_control", F.lit(False))
             .unionByName(ctrl.withColumn("is_control", F.lit(True)))
-            .join(F.broadcast(active_df), "crawl_id", "left_semi")
-            .join(
-                F.broadcast(
-                    crawls.select("crawl_id", "allowed_host_1", "allowed_host_2")
-                ),
-                "crawl_id",
-            )
+            .join(F.broadcast(cand_dim), "crawl_id")
         )
 
         # the seen set, split for the anti-join (storage.read_seen_parts):
