@@ -843,6 +843,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis crawl priority: 3-iteration N-scaled PageRank over
+    the deterministic synthetic outlink graph (pipelines/graph.py), top
+    100 nodes — the classic priority source a web-scale scheduler feeds
+    into the Q2 numeric-priority order key. The DuckDB oracle unrolls
+    the identical recurrence as CTEs, so a wrong damping/outdeg/dangling
+    treatment or a lost isolated node hash-fails."""
+    from crawler_distributed_spark.pipelines.graph import (
+        pagerank,
+        synthetic_link_edges,
+    )
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    edges = synthetic_link_edges(d)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    pr = pagerank(nodes, edges, n_iters=3)
+    return (
+        pr.select(F.col("id").alias("doc_id"), F.round("pr", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), "doc_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -884,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
+        "link_pagerank_topk": q_link_pagerank_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -914,6 +938,10 @@ def _phash_sql(expr: str) -> str:
 from crawler_distributed_spark.pipelines.dedup import (  # noqa: E402
     MINHASH_P as _MH_P,
     minhash_coeffs as _mh_coeffs,
+)
+from crawler_distributed_spark.pipelines.graph import (  # noqa: E402
+    EDGE_MUL as _PR_MUL,
+    EDGE_STEP as _PR_STEP,
 )
 
 _MH_COEFF_VALUES = ", ".join(
@@ -1278,6 +1306,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = i.doc_b
             WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.1
             ORDER BY doc_a, doc_b
+        """,
+        # 3 unrolled iterations of the identical N-scaled PageRank
+        # recurrence (pipelines/graph.py): pr0=1; pr_{t+1} = 0.15 +
+        # 0.85 * sum(pr_t(src)/outdeg(src)); edge set derived from the
+        # SAME doc_id arithmetic (constants imported, cannot drift).
+        "link_pagerank_topk": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            base AS (SELECT doc_id AS src, 1 + doc_id % 4 AS od FROM documents),
+            ej AS (SELECT src, unnest(range(1, od + 1)) AS j FROM base),
+            edges AS (
+                SELECT src,
+                       (src * {_PR_MUL} + j * {_PR_STEP}) % (SELECT n FROM nn) AS dst
+                FROM ej
+                WHERE (src * {_PR_MUL} + j * {_PR_STEP}) % (SELECT n FROM nn) <> src),
+            outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            ew AS (SELECT e.src, e.dst, 1.0::DOUBLE / o.od AS w
+                   FROM edges e JOIN outdeg o ON o.src = e.src),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            r0 AS (SELECT id, 1.0::DOUBLE AS pr FROM nodes),
+            c1 AS (SELECT ew.dst, sum(r.pr * ew.w) AS m
+                   FROM ew JOIN r0 r ON r.id = ew.src GROUP BY ew.dst),
+            r1 AS (SELECT n.id,
+                          0.15::DOUBLE + 0.85::DOUBLE * coalesce(c.m, 0.0::DOUBLE) AS pr
+                   FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
+            c2 AS (SELECT ew.dst, sum(r.pr * ew.w) AS m
+                   FROM ew JOIN r1 r ON r.id = ew.src GROUP BY ew.dst),
+            r2 AS (SELECT n.id,
+                          0.15::DOUBLE + 0.85::DOUBLE * coalesce(c.m, 0.0::DOUBLE) AS pr
+                   FROM nodes n LEFT JOIN c2 c ON c.dst = n.id),
+            c3 AS (SELECT ew.dst, sum(r.pr * ew.w) AS m
+                   FROM ew JOIN r2 r ON r.id = ew.src GROUP BY ew.dst),
+            r3 AS (SELECT n.id,
+                          0.15::DOUBLE + 0.85::DOUBLE * coalesce(c.m, 0.0::DOUBLE) AS pr
+                   FROM nodes n LEFT JOIN c3 c ON c.dst = n.id)
+            SELECT id AS doc_id, round(pr, 6) AS pr FROM r3
+            ORDER BY round(pr, 6) DESC, id LIMIT 100
         """,
         "ann_lsh_topk": f"""
             WITH sig AS (

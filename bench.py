@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "minhash_near_dup",
     "ngram_jaccard",
+    "link_pagerank_topk",
     "token_counts",
     "quality_scores",
     "ann_cosine_topk",

@@ -41,6 +41,12 @@ AUDITS = {
     # explicit candidates the correct plan has ZERO semi-joins; the old
     # post-aggregation-restriction shape had one)
     "ngram_jaccard": ["HashAggregate"],
+    # PageRank: iterative equi-joins + partial-agg sums over (id, pr);
+    # the weighted edge list is lineage-truncated once (Scan ExistingRDD),
+    # so no iteration replays the edge derivation, and nothing is ever a
+    # cross product
+    "link_pagerank_topk": ["HashAggregate", "Scan ExistingRDD",
+                           "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # radius>0 simhash: banded equality self-join, never a cross product
     "simhash_near_dup": ["HashAggregate", "!CartesianProduct",
                          "!BroadcastNestedLoopJoin"],
