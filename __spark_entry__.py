@@ -767,12 +767,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode over binary payloads: the engine byte-parses
     BMP/PPM/PNG images (png = stdlib zlib inflate + five-filter scanline
-    reconstruction) and PCM WAV audio (numpy kernel,
-    pipelines/multimodal.py) while the DuckDB oracle recomputes every
-    feature from the corpus' generative formulas in closed form — the
-    encoder and decoder must agree bit-for-bit through float32. Only mp4
-    rows stay on the declared md5-fake path with decode_ok=0 (no ffmpeg
-    in this container)."""
+    reconstruction), PCM WAV audio, and ISO-BMFF MP4 containers (box
+    walk: timescale/duration/tracks/dimensions/mdat size — codec-free
+    metadata, the CPU tier's real job before frames go to codec workers)
+    while the DuckDB oracle recomputes every feature from the corpus'
+    generative formulas in closed form — the encoder and decoder must
+    agree bit-for-bit through float32 for all five formats."""
     from crawler_distributed_spark.pipelines.multimodal import (
         extract_features,
         synth_media_docs_real,
@@ -1447,10 +1447,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_real_decode: closed-form recomputation of the real
         # decode features from synth_media_docs_real's generative formulas
-        # — the Spark side actually byte-parses the BMP/PPM/PNG/WAV
-        # payloads (png via zlib + scanline unfiltering), so any
-        # encoder/decoder disagreement hash-fails here. Every dim is
-        # quantized through FLOAT4 (the engine stores float32).
+        # — the Spark side actually byte-parses the BMP/PPM/PNG/WAV/MP4
+        # payloads (png via zlib + scanline unfiltering, mp4 via ISO-BMFF
+        # box walk), so any encoder/decoder disagreement hash-fails here.
+        # Every dim is quantized through FLOAT4 (the engine stores float32).
         "multimodal_real_decode": """
             WITH m AS (SELECT i, i % 5 AS fmt, printf('m%05d', i) AS media_id
                        FROM range(60) t(i)),
@@ -1480,20 +1480,19 @@ def oracle_sql() -> dict[str, str]:
                      (200 + (i%7)*40)::DOUBLE / 8000.0 AS g6,
                      0.0 AS g7
               FROM m WHERE fmt = 2),
-            fakes AS (
-              SELECT media_id,
-                     ('0x' || substr(md5(repeat('media-' || i::VARCHAR,
-                                                (4 + (i%7))::INT)), 1, 15))::BIGINT AS b
+            vidf AS (
+              SELECT media_id, 1 AS decode_ok,
+                     3.0 AS g0,
+                     (32 + (i%5)*16)::DOUBLE AS g1,
+                     (24 + (i%3)*16)::DOUBLE AS g2,
+                     (1 + i%10)::DOUBLE AS g3,
+                     1.0 AS g4,
+                     (50 + (i%9)*10)::DOUBLE / 1000.0 AS g5,
+                     1.0 AS g6,
+                     0.0 AS g7
               FROM m WHERE fmt = 4),
-            fakef AS (
-              SELECT media_id, 0 AS decode_ok,
-                     ((b >> 0) & 255) / 255.0 AS g0,  ((b >> 3) & 255) / 255.0 AS g1,
-                     ((b >> 6) & 255) / 255.0 AS g2,  ((b >> 9) & 255) / 255.0 AS g3,
-                     ((b >> 12) & 255) / 255.0 AS g4, ((b >> 15) & 255) / 255.0 AS g5,
-                     ((b >> 18) & 255) / 255.0 AS g6, ((b >> 21) & 255) / 255.0 AS g7
-              FROM fakes),
             u AS (SELECT * FROM imgf UNION ALL SELECT * FROM wavf
-                  UNION ALL SELECT * FROM fakef)
+                  UNION ALL SELECT * FROM vidf)
             SELECT media_id, decode_ok,
                    round(CAST(CAST(g0 AS FLOAT) AS DOUBLE), 4) AS f0,
                    round(CAST(CAST(g1 AS FLOAT) AS DOUBLE), 4) AS f1,

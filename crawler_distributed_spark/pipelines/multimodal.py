@@ -5,10 +5,15 @@ decode/feature-extraction runs as Arrow-batched ``mapInPandas``. The
 decode kernel is REAL for every stdlib-decodable format — BMP and PPM
 images and PCM WAV audio are parsed from raw bytes with struct + numpy
 (header decode, pixel/sample extraction, channel means / RMS features),
-and PNG via stdlib zlib + full five-filter scanline reconstruction. The
-one format that needs an external codec library (mp4 via ffmpeg — not in
-this container) falls back to a deterministic md5 fake and is flagged
-``decode_ok=False``.
+PNG via stdlib zlib + full five-filter scanline reconstruction, and MP4
+via a real ISO-BMFF box walk (ftyp/moov/mvhd/trak/tkhd/mdat: timescale,
+duration, track count, track dimensions, mdat payload size). MP4 frame
+PIXEL decode still needs an external codec (ffmpeg — not in this
+container): the container-metadata features above are exactly the CPU
+tier's job in a 100-TB pipeline before frames are dispatched to codec
+workers (`frame_sample_plan` drives that dispatch from metadata alone);
+a payload that fails parsing falls back to a deterministic md5 fake
+flagged ``decode_ok=False``.
 
 At 100 TB the rules encoded here are: media bytes travel in their own
 column (never exploded per-frame into rows until after sampling), the
@@ -55,9 +60,9 @@ FEATURE_SCHEMA = T.StructType(
 
 REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg are not in this container
 # formats the stdlib/numpy kernel decodes for real (header parse +
-# frombuffer; png additionally via stdlib zlib + scanline unfiltering —
-# still no external library)
-NUMPY_DECODABLE = frozenset({"bmp", "ppm", "wav", "png"})
+# frombuffer; png additionally via stdlib zlib + scanline unfiltering;
+# mp4 via ISO-BMFF box walk — container metadata, no codec library)
+NUMPY_DECODABLE = frozenset({"bmp", "ppm", "wav", "png", "mp4"})
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +296,105 @@ def decode_png(payload: bytes):
     return w, h, out.reshape(h, w, 3).astype(np.float64)
 
 
+_MP4_MATRIX = (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_mp4(
+    w: int, h: int, duration_ms: int, mdat: bytes = b"", timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) container — pure struct packing:
+    ftyp + moov(mvhd + trak(tkhd)) + mdat, version-0 full boxes,
+    identity matrix, 16.16 fixed-point track dimensions."""
+    import struct
+
+    matrix = struct.pack(">9i", *_MP4_MATRIX)
+    duration = duration_ms * timescale // 1000
+    mvhd = (
+        struct.pack(">I", 0)                     # version 0 + flags
+        + struct.pack(">II", 0, 0)               # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 16.16, volume 8.8
+        + b"\x00" * 10                           # reserved
+        + matrix
+        + b"\x00" * 24                           # pre_defined
+        + struct.pack(">I", 2)                   # next_track_ID
+    )
+    tkhd = (
+        struct.pack(">I", 3)                     # version 0 + enabled|in_movie
+        + struct.pack(">II", 0, 0)               # creation/modification
+        + struct.pack(">II", 1, 0)               # track_ID + reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8                            # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)       # layer/alt_group/volume/res
+        + matrix
+        + struct.pack(">II", w << 16, h << 16)   # 16.16 fixed point
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + _mp4_box(b"mdat", mdat)
+
+
+def _mp4_children(buf: bytes):
+    """Strictly-validated flat box walk → [(type, body), ...] or None
+    (any short/overlong/sub-8-byte size rejects the whole buffer)."""
+    import struct
+
+    pos, out = 0, []
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            return None
+        (size,) = struct.unpack_from(">I", buf, pos)
+        if size < 8 or pos + size > len(buf):
+            return None
+        out.append((buf[pos + 4: pos + 8], buf[pos + 8: pos + size]))
+        pos += size
+    return out
+
+
+def decode_mp4_meta(payload: bytes):
+    """Parse an ISO-BMFF container → (timescale, duration_units,
+    n_tracks, width, height, mdat_bytes) or None. Codec-free: the box
+    walk reads ftyp/moov/mvhd/trak/tkhd/mdat only (version-0 headers),
+    which is everything a scheduling/metadata tier needs — frame pixel
+    decode stays with codec workers."""
+    import struct
+
+    if payload is None or len(payload) < 16:
+        return None
+    top = _mp4_children(payload)
+    if not top or top[0][0] != b"ftyp":
+        return None
+    moov = next((b for t, b in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    mdat_bytes = sum(len(b) for t, b in top if t == b"mdat")
+    kids = _mp4_children(moov)
+    if kids is None:
+        return None
+    mvhd = next((b for t, b in kids if t == b"mvhd"), None)
+    traks = [b for t, b in kids if t == b"trak"]
+    if mvhd is None or len(mvhd) < 100 or mvhd[0] != 0 or not traks:
+        return None
+    timescale, duration = struct.unpack_from(">II", mvhd, 12)
+    if timescale == 0:
+        return None
+    tkids = _mp4_children(traks[0])
+    if tkids is None:
+        return None
+    tkhd = next((b for t, b in tkids if t == b"tkhd"), None)
+    if tkhd is None or len(tkhd) < 84 or tkhd[0] != 0:
+        return None
+    wfx, hfx = struct.unpack_from(">II", tkhd, 76)
+    return timescale, duration, len(traks), wfx >> 16, hfx >> 16, mdat_bytes
+
+
 def encode_wav(samples: "list[int]", sample_rate: int = 8000) -> bytes:
     """Minimal mono 16-bit PCM WAV (RIFF + fmt + data chunks)."""
     import struct
@@ -338,9 +442,11 @@ def decode_wav(payload: bytes):
 def _real_decode_feature(payload: bytes | None, fmt: str | None, dims: int):
     """Decode → fixed-width feature vector. Returns (features, decode_ok).
 
-    images (bmp/ppm): [1, w, h, meanR/255, meanG/255, meanB/255, w/h, 0...]
+    images (bmp/ppm/png): [1, w, h, meanR/255, meanG/255, meanB/255, w/h, 0...]
     audio (wav):      [2, n, rate/1000, rms/2048, mean/2048, max|s|/2048,
                        n/rate, 0...]
+    video (mp4):      [3, w, h, duration_s, n_tracks, mdat_bytes/1000,
+                       timescale/1000, 0...]  (container metadata — no codec)
     Unsupported format or parse failure → md5 fake, decode_ok=False. The
     decoders validate before every frombuffer/division, and the dispatch
     is belt-and-braces wrapped so a malformed payload can NEVER raise out
@@ -358,6 +464,8 @@ def _real_decode_feature(payload: bytes | None, fmt: str | None, dims: int):
                 decoded = decode_wav(payload)
             elif fmt == "png":
                 decoded = decode_png(payload)
+            elif fmt == "mp4":
+                decoded = decode_mp4_meta(payload)
         except Exception:
             decoded = None
     if decoded is None:
@@ -367,6 +475,10 @@ def _real_decode_feature(payload: bytes | None, fmt: str | None, dims: int):
         means = px.mean(axis=(0, 1))  # per-channel, exact for ints < 2^53
         feats = [1.0, float(w), float(h), means[0] / 255.0, means[1] / 255.0,
                  means[2] / 255.0, w / h, 0.0]
+    elif fmt == "mp4":
+        timescale, duration, n_tracks, w, h, mdat_bytes = decoded
+        feats = [3.0, float(w), float(h), duration / timescale,
+                 float(n_tracks), mdat_bytes / 1000.0, timescale / 1000.0, 0.0]
     else:
         n, rate, s = decoded
         rms = math.sqrt(float((s * s).sum()) / n) if n else 0.0
@@ -395,11 +507,11 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature pass over (media_id, payload, meta).
 
-    ``real_decode=True`` parses BMP/PPM/PNG/WAV payloads for real (numpy
-    header+body decode, zlib inflate + scanline unfiltering for png,
-    per-channel means / RMS features; decode_ok=True); the one format
-    needing ffmpeg (mp4 — not in this container) falls back to the md5
-    fake with decode_ok=False. ``real_decode=False`` is
+    ``real_decode=True`` parses BMP/PPM/PNG/WAV/MP4 payloads for real
+    (numpy header+body decode, zlib inflate + scanline unfiltering for
+    png, ISO-BMFF box walk for mp4 container metadata; decode_ok=True);
+    a payload that fails parsing falls back to the md5 fake with
+    decode_ok=False. ``real_decode=False`` is
     the pure deterministic stub for every row (decode_ok=True — the stub
     IS the declared kernel there)."""
     import numpy as np
@@ -452,8 +564,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
     """Synthetic media corpus with REAL payloads: valid BMP, PPM and PNG
-    images and PCM16 WAV audio built by the encoders above, plus fake mp4
-    rows for the one still-codec-blocked format (no ffmpeg in container).
+    images, PCM16 WAV audio, and ISO-BMFF MP4 containers, all built by
+    the encoders above.
 
     Generative formulas (the SQL oracle recomputes features from these in
     closed form, so encoder and decoder cross-check each other):
@@ -461,7 +573,8 @@ def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
       image (bmp/ppm/png): w = 8+(i%3)*4, h = 6+(i%4)*3; every pixel of
         row y has R=(7i+y)%256, G=(7i+y+40)%256, B=(7i+y+80)%256
       audio (wav): rate=8000, n_s = 200+(i%7)*40, s[t] = ((13i+37t)%4001)-2000
-      mp4: payload = b"media-{i}" * (4+i%7)  (md5-fake feature path)
+      video (mp4): timescale=1000, w = 32+(i%5)*16, h = 24+(i%3)*16,
+        duration_ms = 1000*(1+i%10), mdat = 50+(i%9)*10 bytes of (3i+j)%256
     """
     rows = []
     for i in range(n):
@@ -482,10 +595,12 @@ def synth_media_docs_real(spark, n: int = 100) -> DataFrame:
                 [((13 * i + 37 * t) % 4001) - 2000 for t in range(n_s)], 8000
             )
             dur = n_s * 1000 // 8000
-        else:  # mp4 — codec-blocked, declared fake
+        else:  # mp4 — real ISO-BMFF container (metadata + mdat, no codec)
             mt = "video"
-            payload = bytes(f"media-{i}", "utf-8") * (4 + i % 7)
+            w, h = 32 + (i % 5) * 16, 24 + (i % 3) * 16
             dur = 1000 * (1 + i % 10)
+            mdat = bytes((3 * i + j) % 256 for j in range(50 + (i % 9) * 10))
+            payload = encode_mp4(w, h, dur, mdat)
         rows.append(
             (
                 f"m{i:05d}",

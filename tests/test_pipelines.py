@@ -363,13 +363,18 @@ def test_codec_roundtrips():
     n, rate, s = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
     assert (n, rate) == (333, 8000)
     assert np.array_equal(s, np.array(samples, dtype=float))
+    # mp4: the ISO-BMFF box walk recovers the container metadata exactly
+    meta = multimodal.decode_mp4_meta(
+        multimodal.encode_mp4(64, 48, 5500, b"\x07" * 321, timescale=600)
+    )
+    assert meta == (600, 5500 * 600 // 1000, 1, 64, 48, 321)
 
 
 def test_real_decode_features_vs_numpy_oracle(spark):
     """real_decode=True parses the binary payloads and must reproduce the
-    features an independent numpy recomputation gives; only mp4 rows fall
-    back to the declared md5 fake with decode_ok=False (png is decoded
-    for real via zlib + scanline unfiltering)."""
+    features an independent recomputation gives for ALL five formats
+    (png via zlib + scanline unfiltering, mp4 via the ISO-BMFF box
+    walk)."""
     import math
 
     media = multimodal.synth_media_docs_real(spark, n=20)
@@ -393,8 +398,14 @@ def test_real_decode_features_vs_numpy_oracle(spark):
             assert r.decode_ok
             assert r.feature[0] == 2.0 and r.feature[1] == float(n_s)
             assert abs(r.feature[3] - rms / 2048.0) < 1e-6
-        else:
-            assert not r.decode_ok  # container-blocked codec: declared fake
+        else:  # mp4 — container metadata parsed for real
+            w, h = 32 + (i % 5) * 16, 24 + (i % 3) * 16
+            assert r.decode_ok
+            assert r.feature[0] == 3.0
+            assert r.feature[1] == float(w) and r.feature[2] == float(h)
+            assert r.feature[3] == float(1 + i % 10)          # duration s
+            assert r.feature[4] == 1.0                         # n_tracks
+            assert abs(r.feature[5] - (50 + (i % 9) * 10) / 1000.0) < 1e-6
 
 
 def test_real_decode_malformed_payloads():
@@ -415,6 +426,11 @@ def test_real_decode_malformed_payloads():
         # png malformed variants
         (b"\x89PNG\r\n\x1a\nnot-chunks", "png"), (ok_png[:40], "png"),
         (ok_png[:33] + b"\x00" * (len(ok_png) - 33), "png"),  # corrupt IDAT
+        # mp4 malformed variants: truncated boxes, missing mvhd, garbage
+        (multimodal.encode_mp4(8, 8, 1000)[:20], "mp4"),
+        (b"\x00\x00\x00\x04ftyp", "mp4"),  # box size < 8
+        (multimodal.encode_mp4(8, 8, 1000).replace(b"mvhd", b"xxxx"), "mp4"),
+        (b"media-3" * 6, "mp4"),
     ]:
         feats, ok = multimodal._real_decode_feature(payload, fmt, 8)
         assert not ok and len(feats) == 8
