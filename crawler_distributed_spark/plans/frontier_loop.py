@@ -339,9 +339,16 @@ def run_crawl(
     policy: CrawlPolicy = CrawlPolicy(),
     resume: bool = False,
     stop_after_batch: int | None = None,
+    fetcher=None,
 ) -> CrawlRunResult:
     """Run (or resume) the crawl to completion. ``stop_after_batch`` kills
-    the loop right after committing that batch — used by the resume tests."""
+    the loop right after committing that batch — used by the resume tests.
+
+    ``fetcher(scheduled_df, n_rows_hint) -> DataFrame`` swaps the fetch
+    transport (default: the deterministic synthetic web; pass
+    ``operators.http_fetch.fetch_scheduled_http`` for real HTTP) — the
+    loop's politeness/admission/seen/checkpoint machinery is
+    transport-agnostic, it only needs the fetch output schema."""
     store = BatchStore(checkpoint_dir)
     store.rollback_uncommitted()
     last = store.last_committed()
@@ -509,8 +516,11 @@ def run_crawl(
         # paying (shuffle.partitions − needed) empty python tasks per job —
         # a pure per-batch-floor cut (partitioning never affects values).
         with _timed("fetch+schedule write"):
+            _fetch = fetcher or (
+                lambda s, hint: fetch_scheduled(s, cfg, n_rows_hint=hint)
+            )
             store.write_table(
-                fetch_scheduled(scheduled, cfg, n_rows_hint=n_elig).withColumn(
+                _fetch(scheduled, n_elig).withColumn(
                     "batch_id", F.lit(batch).cast("long")
                 ),
                 batch,
