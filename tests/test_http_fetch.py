@@ -239,3 +239,21 @@ def test_http_crawl_end_to_end(spark, site, tmp_path):
     assert "http://other.example/x" not in got
     # budget accounting saw exactly the 3 content pages
     assert res.pages_dict(spark)["crawl-http"] == 3
+    # the W-extraction families run unchanged on the REAL crawled spans:
+    # one parse_docs select over the loop's own fetched table
+    from crawler_distributed_spark.extract.spans import parse_docs
+
+    pages = fetched.where(
+        (F.col("doc_class") == "content") & (F.col("status") == 200)
+    ).select("doc_id", "url_norm", "host", "spans", "response_headers")
+    w = {r.url_norm: r for r in parse_docs(pages).collect()}
+    a = w[f"{site}/a.html"]
+    assert a.page_title.title == "Alpha Page"
+    assert a.headings_data.h1 == 1
+    assert a.links_data.nofollow == 1
+    assert a.images_data.total == 1
+    # W15 inline-JS signature ('window.dataLayer' / 'gtag(') detected in
+    # the real inline script body; CSS framework from the real bodyclass
+    assert "google_analytics" in a.third_party_services.providers
+    assert "bootstrap" in a.third_party_services.css_frameworks
+    assert a.structured_data.has_article  # real JSON-LD @type=Article
