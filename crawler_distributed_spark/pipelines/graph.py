@@ -112,6 +112,36 @@ def pagerank(
     return ranks
 
 
+def host_edges_from_fetched(fetched: DataFrame) -> DataFrame:
+    """Host-level link graph from the crawl's own output: the ``fetched``
+    table (url_norm + outlinks, the loop's materialization #1) explodes
+    into distinct (src_host, dst_host) edges with self-links dropped —
+    the input a scheduler feeds back into :func:`pagerank` to prioritize
+    newly-discovered hosts by link authority. One explode + one distinct
+    (both shuffle on the edge pair); nothing wider than two host strings
+    ever moves."""
+    from ..functions.urls import host_col
+
+    return (
+        fetched.select(
+            host_col(F.col("url_norm")).alias("src"),
+            F.explode("outlinks").alias("_o"),
+        )
+        .select("src", host_col(F.col("_o")).alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+def nodes_of(edges: DataFrame) -> DataFrame:
+    """Node set (column ``id``) of an (src, dst) edge list."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
 def pagerank_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
     """Attach PageRank as the numeric priority (policy.py Q2 order-key
     family): frontier rows join their node's rank; unranked rows get the

@@ -35,10 +35,13 @@ def stream_crawl(
     policy: CrawlPolicy = CrawlPolicy(),
     max_ticks: int = 10_000,
     stop_after_batch: int | None = None,
+    fetcher=None,
 ) -> CrawlRunResult:
     """Drive the crawl via a streaming ticker; returns when the frontier
     drains (or after max_ticks). Each tick advances at most one batch by
-    calling run_crawl(resume=True, stop_after_batch=<next>).
+    calling run_crawl(resume=True, stop_after_batch=<next>). ``fetcher``
+    passes through to run_crawl (the real-HTTP transport swap works under
+    the streaming driver too).
 
     ``stop_after_batch`` is the deterministic kill switch (same contract
     as the batch loop's): the ticker refuses to start any batch past it,
@@ -61,7 +64,7 @@ def stream_crawl(
             return
         res = run_crawl(
             spark, cfg, seeds, robots_rules, checkpoint_dir, policy,
-            resume=resume, stop_after_batch=nxt,
+            resume=resume, stop_after_batch=nxt, fetcher=fetcher,
         )
         state["started"] = True
         state["result"] = res

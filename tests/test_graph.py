@@ -87,6 +87,28 @@ def test_pagerank_priority_composition(spark, docs):
     assert got[0] != got[999] or got[7] != got[999]
 
 
+def test_host_pagerank_from_crawl_output(spark):
+    """The crawl's own fetched table feeds the host-level link graph:
+    every page on spoke hosts links to the hub host, so the hub must
+    out-rank the spokes (the authority signal a scheduler feeds back
+    into frontier priority)."""
+    rows = [
+        (f"https://spoke{s}.example/p/{i}", ["https://hub.example/"])
+        for s in range(3)
+        for i in range(2)
+    ] + [("https://hub.example/", ["https://spoke0.example/p/0"])]
+    fetched = spark.createDataFrame(rows, "url_norm string, outlinks array<string>")
+    edges = graph.host_edges_from_fetched(fetched)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert ("spoke0.example", "hub.example") in got
+    assert all(s != d for s, d in got)
+    ranks = {
+        r.id: r.pr for r in graph.pagerank(graph.nodes_of(edges), edges).collect()
+    }
+    assert max(ranks, key=ranks.get) == "hub.example"
+    assert ranks["hub.example"] > ranks["spoke1.example"]
+
+
 def test_pagerank_plan_has_no_cartesian(spark, docs):
     # materialized edge list: the iterative operator's own plan must be
     # pure equi-joins + aggregations (no cartesian/BNLJ anywhere).
