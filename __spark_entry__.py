@@ -866,6 +866,68 @@ def q_link_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: mark corpus docs sharing ANY word
+    3-gram with a deterministic contaminant slice (doc_id % 97 == 0 —
+    the stand-in for a benchmark suite). The contaminant shingle set is
+    broadcast; the corpus shingles once and never self-joins."""
+    from crawler_distributed_spark.pipelines.cleaning import decontaminate_flags
+
+    d = _load(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bad = d.where(F.col("doc_id") % 97 == 0)
+    return (
+        decontaminate_flags(d, bad, n=3)
+        .select("doc_id", F.col("contaminated").cast("int").alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signal (Gopher/MassiveText-style): per-doc
+    fraction of duplicate word 3-grams, pure Column expressions."""
+    from crawler_distributed_spark.pipelines.cleaning import repetition_ratio
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(repetition_ratio("text", 3), 4).alias("rep3"),
+        )
+        .where(F.col("rep3") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: deterministic emails/IPs/phones are injected
+    into each doc (both engines build the identical string), scrubbed
+    with the SAME regex patterns (RE2 ∩ Java subset), and the scrubbed
+    text is phash60'd — a wrong pattern, missed occurrence, or partial
+    (non-global) replace hash-fails."""
+    from crawler_distributed_spark.pipelines.cleaning import pii_count, pii_scrub
+
+    d = _load(spark, sf_dir, "documents")["documents"]
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 010 "),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"), injected.alias("text"))
+    return base.select(
+        "doc_id",
+        pii_count("text").alias("n_pii"),
+        F.conv(F.substring(F.md5(pii_scrub("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -908,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "link_pagerank_topk": q_link_pagerank_topk,
+        "decontamination": q_decontamination,
+        "repetition_scores": q_repetition_scores,
+        "pii_scrub_audit": q_pii_scrub_audit,
         "simhash_dup_groups": q_simhash_dup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -942,6 +1007,32 @@ from crawler_distributed_spark.pipelines.dedup import (  # noqa: E402
 from crawler_distributed_spark.pipelines.graph import (  # noqa: E402
     EDGE_MUL as _PR_MUL,
     EDGE_STEP as _PR_STEP,
+)
+from crawler_distributed_spark.pipelines.cleaning import (  # noqa: E402
+    PII_PATTERNS as _PII_PATTERNS,
+)
+
+# DuckDB twins generated from the SAME pattern table the engine scrubs
+# with (cleaning.PII_PATTERNS — RE2 ∩ Java common subset, so the literal
+# pattern strings run on both engines; DuckDB needs the 'g' flag for the
+# replace-all semantics Java applies by default)
+_PII_SCRUB_SQL = "t"
+for _pat, _repl in _PII_PATTERNS:
+    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNT_SQL = " + ".join(
+    f"((length(s) - length(replace(s, '{_repl}', ''))) / {len(_repl)})::INT"
+    for _pat, _repl in _PII_PATTERNS
+)
+
+# word-3-gram shingle CTEs shared by the cleaning oracles (the DuckDB
+# twin of pipelines/dedup._shingles — same shape the minhash CTEs use)
+_SHINGLE_TOKS = (
+    "toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts "
+    "FROM documents)"
+)
+_SHINGLE_LIST = (
+    "list_transform(range(0, greatest(len(ts) - 3, 0) + 1), "
+    "i -> array_to_string(ts[i + 1 : i + 3], ' '))"
 )
 
 _MH_COEFF_VALUES = ", ".join(
@@ -1342,6 +1433,43 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN c3 c ON c.dst = n.id)
             SELECT id AS doc_id, round(pr, 6) AS pr FROM r3
             ORDER BY round(pr, 6) DESC, id LIMIT 100
+        """,
+        "decontamination": f"""
+            WITH {_SHINGLE_TOKS},
+            sh AS (SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM toks),
+            bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bad USING (shingle))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL)::INT AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "repetition_scores": f"""
+            WITH {_SHINGLE_TOKS},
+            sh AS (SELECT doc_id, {_SHINGLE_LIST} AS shs FROM toks),
+            r AS (SELECT doc_id, len(shs) AS ct, len(list_distinct(shs)) AS cd
+                  FROM sh)
+            SELECT doc_id,
+                   round(CASE WHEN ct <= 0 THEN 0.0::DOUBLE
+                         ELSE 1.0::DOUBLE - cd::DOUBLE / ct::DOUBLE END, 4) AS rep3
+            FROM r
+            WHERE round(CASE WHEN ct <= 0 THEN 0.0::DOUBLE
+                        ELSE 1.0::DOUBLE - cd::DOUBLE / ct::DOUBLE END, 4) > 0
+            ORDER BY doc_id
+        """,
+        "pii_scrub_audit": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@mail.example from 10.0.'
+                          || (doc_id % 256)::VARCHAR
+                          || '.7 call +1 555 010 '
+                          || (doc_id % 90 + 10)::VARCHAR AS t
+              FROM documents),
+            scrubbed AS (SELECT doc_id, {_PII_SCRUB_SQL} AS s FROM inj)
+            SELECT doc_id,
+                   {_PII_COUNT_SQL} AS n_pii,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS clean_hash
+            FROM scrubbed ORDER BY doc_id
         """,
         "ann_lsh_topk": f"""
             WITH sig AS (

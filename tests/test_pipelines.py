@@ -460,3 +460,69 @@ def test_ngram_plan_shape(spark, docs):
     # and it still computes the right numbers
     got = {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
     assert got[(0, 1)] == 1.0  # exact dup pair
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning: decontamination, repetition, PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_decontamination_marks_overlapping_docs(spark):
+    from crawler_distributed_spark.pipelines import cleaning
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over lazy dogs today"),
+            (1, "completely unrelated content about spark planners"),
+            (2, "we also say the quick brown fox sometimes here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in
+           cleaning.decontaminate_flags(corpus, bench, n=3).collect()}
+    assert got == {0: True, 1: False, 2: True}
+    # contaminant side must be broadcast (corpus never self-joins)
+    plan = cleaning.decontaminate_flags(corpus, bench, n=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_ratio(spark):
+    from crawler_distributed_spark.pipelines import cleaning
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c a b c"),   # heavy 3-gram repetition
+            (1, "one two three four five six"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", cleaning.repetition_ratio("text", 3).alias("rep")).collect()}
+    assert got[1] == 0.0
+    # doc 0: 10 shingles, 3 distinct ('a b c','b c a','c a b') -> 0.7
+    assert got[0] == pytest.approx(0.7)
+
+
+def test_pii_scrub_and_count(spark):
+    from crawler_distributed_spark.pipelines import cleaning
+
+    df = spark.createDataFrame(
+        [(0, "mail a.user+tag@corp.example.com or call +1 555 010 7788 "
+             "from 192.168.0.17 thanks")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        cleaning.pii_scrub("text").alias("clean"),
+        cleaning.pii_count("text").alias("n"),
+    ).collect()[0]
+    assert "<EMAIL>" in row.clean and "<IP>" in row.clean and "<PHONE>" in row.clean
+    assert "corp.example.com" not in row.clean
+    assert "192.168" not in row.clean
+    assert "555 010" not in row.clean
+    assert row.n == 3
