@@ -113,6 +113,50 @@ def filter_page_sitemaps(sitemap_urls: list[str]) -> tuple[list[str], bool]:
     return page + other, bool(page)
 
 
+def robots_rules_from_txt(
+    robots_txt: str | None, host: str, user_agent: str = "*"
+) -> list[dict]:
+    """Parse a REAL robots.txt body into the engine's (host, path_prefix,
+    allow) gating rows for operators/admission.gate_robots.
+
+    Standard group semantics: consecutive ``User-agent:`` lines open a
+    group; its Allow/Disallow records apply when the group names ``*`` or
+    our token. The gate is longest-prefix-match with default allow, which
+    matches the robots spec for plain path prefixes; wildcard rules are
+    approximated by truncating at the first ``*`` (a rule that BEGINS
+    with a wildcard cannot be expressed as a prefix and is skipped —
+    conservative toward allowing, like the reference's effective posture:
+    its Scrapy config ships ROBOTSTXT_OBEY=False, settings.py:61, while
+    this engine gates per the north rule)."""
+    rules: list[dict] = []
+    current_uas: list[str] = []
+    in_records = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_records:  # a records section ended -> new group begins
+                current_uas = []
+                in_records = False
+            current_uas.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_records = True
+            if "*" not in current_uas and user_agent.lower() not in current_uas:
+                continue
+            prefix = val.split("*", 1)[0]
+            if not prefix:
+                continue  # empty Disallow: (allow-all) or leading-wildcard
+            rules.append(
+                {"host": host, "path_prefix": prefix, "allow": key == "allow"}
+            )
+    if not any(r["path_prefix"] == "/" for r in rules):
+        rules.append({"host": host, "path_prefix": "/", "allow": True})
+    return rules
+
+
 def scan_robots_for_sitemaps(robots_txt: str) -> list[str]:
     """S5: extract ``Sitemap:`` directives from robots.txt
     (lib/utils/sitemap_utils.py:93-96 regex)."""

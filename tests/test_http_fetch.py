@@ -197,6 +197,8 @@ def test_http_crawl_end_to_end(spark, site, tmp_path):
     from crawler_distributed_spark.plans.frontier_loop import run_crawl
     from crawler_distributed_spark.policy import CrawlPolicy
 
+    from crawler_distributed_spark.functions.sitemaps import robots_rules_from_txt
+
     host = site.split("://", 1)[1]
     seeds = [
         {
@@ -210,12 +212,10 @@ def test_http_crawl_end_to_end(spark, site, tmp_path):
             "project_id": "t",
         }
     ]
-    robots = spark.createDataFrame(
-        [
-            {"host": host, "path_prefix": "/private/", "allow": False},
-            {"host": host, "path_prefix": "/", "allow": True},
-        ]
-    )
+    # gating rules come from the site's REAL robots.txt, not hand-wired
+    rows = robots_rules_from_txt(fetch_url(f"{site}/robots.txt")["body"], host)
+    assert {"host": host, "path_prefix": "/private/", "allow": False} in rows
+    robots = spark.createDataFrame(rows)
     res = run_crawl(
         spark,
         synth.SynthConfig(n_hosts=1),
@@ -257,3 +257,36 @@ def test_http_crawl_end_to_end(spark, site, tmp_path):
     assert "google_analytics" in a.third_party_services.providers
     assert "bootstrap" in a.third_party_services.css_frameworks
     assert a.structured_data.has_article  # real JSON-LD @type=Article
+
+
+def test_robots_rules_from_txt_groups_and_wildcards():
+    from crawler_distributed_spark.functions.sitemaps import robots_rules_from_txt
+
+    txt = """# comment
+User-agent: Googlebot
+Disallow: /google-only/
+
+User-agent: *
+User-agent: other-bot
+Disallow: /private/
+Allow: /private/open/
+Disallow: /tmp*junk
+Disallow: *leading
+Disallow:
+
+User-agent: BadBot
+Disallow: /
+"""
+    rows = robots_rules_from_txt(txt, "h.example")
+    got = {(r["path_prefix"], r["allow"]) for r in rows}
+    # our group ('*') rules present; wildcard truncated at first '*';
+    # leading-wildcard and empty Disallow skipped; other groups ignored
+    assert ("/private/", False) in got
+    assert ("/private/open/", True) in got
+    assert ("/tmp", False) in got
+    assert ("/google-only/", False) not in got
+    assert ("/", True) in got  # default allow appended
+    assert not any(p.startswith("*") or "leading" in p for p, _ in got)
+    # a '*' group that disallows '/' must NOT get the default-allow row
+    rows2 = robots_rules_from_txt("User-agent: *\nDisallow: /", "h.example")
+    assert {(r["path_prefix"], r["allow"]) for r in rows2} == {("/", False)}
