@@ -41,17 +41,19 @@ _SKIP_LINK_SCHEMES = ("mailto:", "tel:", "javascript:", "#")
 
 
 class _SpanParser(HTMLParser):
+    """Capture frames are a STACK with one buffer per frame: nested
+    captures (an <a> inside an <h1>) never clobber the parent's text,
+    an end tag implicitly closes any frames opened above its own
+    (real-world unclosed <a>), and close() drains whatever is still
+    open — a dangling capture can't swallow the rest of the document."""
+
     def __init__(self, base_url: str):
         super().__init__(convert_charrefs=True)
         self.base = base_url
         self.spans: list[tuple] = []
         self.links: list[str] = []
         self._cursor = 0  # NOT self.offset: ParserBase uses that internally
-        self._stack: list[str] = []          # open capture kinds
-        self._buf: list[str] = []            # text of the innermost capture
-        self._link_ref: str | None = None
-        self._link_attrs = ""
-        self._script_jsonld = False
+        self._frames: list[dict] = []        # open captures, each with own buf
         self._in_body_text: list[str] = []
 
     # -- emit helpers -------------------------------------------------
@@ -65,18 +67,58 @@ class _SpanParser(HTMLParser):
         if t:
             self._emit("text", t)
 
+    def _push(self, kind: str, **extra):
+        self._frames.append({"kind": kind, "buf": [], **extra})
+
+    def _close_frame(self):
+        fr = self._frames.pop()
+        text = "".join(fr["buf"]).strip()
+        kind = fr["kind"]
+        if kind == "title":
+            self._emit("title", " ".join(text.split()))
+        elif kind in _HEADINGS:
+            self._emit("heading", f"h{kind[1]}: " + " ".join(text.split()))
+        elif kind == "a":
+            anchor = " ".join(text.split())
+            body = f"{anchor}|{fr['attrs']}" if fr["attrs"] else anchor
+            self._emit("link", body, fr["ref"])
+            if fr["ref"] and not fr["ref"].startswith(_SKIP_LINK_SCHEMES):
+                self.links.append(fr["ref"])
+            # anchor text stays visible to the enclosing capture / body
+            # text (soup.get_text() semantics in the reference workers)
+            if self._frames:
+                self._frames[-1]["buf"].append(text)
+            elif text:
+                self._in_body_text.append(" ".join(text.split()))
+        elif kind == "script":
+            if fr["jsonld"]:
+                try:
+                    t = json.loads(text).get("@type")
+                except Exception:
+                    t = None
+                if t:
+                    self._emit("meta", f"jsonld: {t}")
+            elif text:  # inline body (W15 signatures / W13 minified-JS)
+                self._emit("script", text, None)
+        elif kind == "style":
+            if text:
+                self._emit("style", text)
+
     # -- tag handling -------------------------------------------------
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        if tag in ("p", "li", "br", "section", "article") or tag in _HEADINGS:
+            # block boundary implicitly closes an open <a> (browser
+            # tree-construction behavior; guards against unclosed <a>)
+            while self._frames and self._frames[-1]["kind"] == "a":
+                self._close_frame()
         if tag in ("p", "li", "br", "section", "article"):
             self._flush_text()
         if tag == "title":
-            self._stack.append("title")
-            self._buf = []
+            self._push("title")
         elif tag in _HEADINGS:
             self._flush_text()
-            self._stack.append(tag)
-            self._buf = []
+            self._push(tag)
         elif tag == "meta":
             name = (a.get("name") or "").lower()
             prop = (a.get("property") or "").lower()
@@ -101,25 +143,25 @@ class _SpanParser(HTMLParser):
                 # separate-mobile-site link (mobile_worker.py:361-372)
                 self._emit("meta", f"altmobile: {urljoin(self.base, href)}")
         elif tag == "a":
+            # a new <a> closes any still-open one (browsers never nest)
+            while self._frames and self._frames[-1]["kind"] == "a":
+                self._close_frame()
             self._flush_text()
-            self._stack.append("a")
-            self._buf = []
             href = a.get("href") or ""
-            self._link_ref = (
+            ref = (
                 href if href.startswith(_SKIP_LINK_SCHEMES)
                 else urljoin(self.base, href)
             )
             toks = [t for t in re.split(r"[\s,]+", (a.get("rel") or "").lower()) if t]
             if (a.get("target") or "").lower() == "_blank":
                 toks.append("blank")
-            self._link_attrs = ",".join(toks)
+            self._push("a", ref=ref, attrs=",".join(toks))
             if a.get("style"):
                 self._emit("el", f"a|style={a['style']}")
         elif tag == "script":
-            self._stack.append("script")
-            self._buf = []
-            self._script_jsonld = (
-                (a.get("type") or "").lower() == "application/ld+json"
+            self._push(
+                "script",
+                jsonld=(a.get("type") or "").lower() == "application/ld+json",
             )
             src = a.get("src")
             if src:
@@ -130,8 +172,7 @@ class _SpanParser(HTMLParser):
                     "script", ",".join(toks) or None, urljoin(self.base, src)
                 )
         elif tag == "style":
-            self._stack.append("style")
-            self._buf = []
+            self._push("style")
         elif tag == "img":
             src = urljoin(self.base, a.get("src") or "")
             w, h = a.get("width"), a.get("height")
@@ -160,49 +201,32 @@ class _SpanParser(HTMLParser):
             self._emit("meta", f"microdata: {a['itemtype'].rstrip('/').rsplit('/', 1)[-1]}")
 
     def handle_endtag(self, tag):
-        if not self._stack:
+        if not self._frames:
             if tag in ("p", "li", "section", "article", "body", "html"):
                 self._flush_text()
             return
-        top = self._stack[-1]
-        text = "".join(self._buf).strip()
-        if tag == "title" and top == "title":
-            self._stack.pop()
-            self._emit("title", " ".join(text.split()))
-        elif tag in _HEADINGS and top == tag:
-            self._stack.pop()
-            self._emit("heading", f"h{tag[1]}: " + " ".join(text.split()))
-        elif tag == "a" and top == "a":
-            self._stack.pop()
-            anchor = " ".join(text.split())
-            body = f"{anchor}|{self._link_attrs}" if self._link_attrs else anchor
-            self._emit("link", body, self._link_ref)
-            if self._link_ref and not self._link_ref.startswith(_SKIP_LINK_SCHEMES):
-                self.links.append(self._link_ref)
-        elif tag == "script" and top == "script":
-            self._stack.pop()
-            if self._script_jsonld:
-                try:
-                    t = json.loads(text).get("@type")
-                except Exception:
-                    t = None
-                if t:
-                    self._emit("meta", f"jsonld: {t}")
-            elif text:  # inline body (W15 signatures / W13 minified-JS)
-                self._emit("script", text, None)
-        elif tag == "style" and top == "style":
-            self._stack.pop()
-            if text:
-                self._emit("style", text)
+        # deepest frame this end tag closes; frames opened above it
+        # (unclosed <a>/<script> in the wild) close implicitly first
+        target = None
+        for j in range(len(self._frames) - 1, -1, -1):
+            if self._frames[j]["kind"] == tag:
+                target = j
+                break
+        if target is None:
+            return
+        while len(self._frames) > target:
+            self._close_frame()
 
     def handle_data(self, data):
-        if self._stack:
-            self._buf.append(data)
+        if self._frames:
+            self._frames[-1]["buf"].append(data)
         elif data.strip():
             self._in_body_text.append(data.strip())
 
     def close(self):
         super().close()
+        while self._frames:  # dangling captures at EOF still emit
+            self._close_frame()
         self._flush_text()
 
 

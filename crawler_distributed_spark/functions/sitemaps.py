@@ -122,12 +122,16 @@ def robots_rules_from_txt(
     Standard group semantics: consecutive ``User-agent:`` lines open a
     group; its Allow/Disallow records apply when the group names ``*`` or
     our token. The gate is longest-prefix-match with default allow, which
-    matches the robots spec for plain path prefixes; wildcard rules are
-    approximated by truncating at the first ``*`` (a rule that BEGINS
-    with a wildcard cannot be expressed as a prefix and is skipped —
-    conservative toward allowing, like the reference's effective posture:
-    its Scrapy config ships ROBOTSTXT_OBEY=False, settings.py:61, while
-    this engine gates per the north rule)."""
+    matches the robots spec for plain path prefixes; wildcard handling
+    is strictly conservative TOWARD ALLOWING: a trailing ``*`` is a
+    prefix no-op and is dropped, an Allow with a mid-pattern ``*`` is
+    truncated at the wildcard (truncation only WIDENS an Allow), and a
+    Disallow with a mid-pattern or leading ``*`` is skipped entirely —
+    truncating it would widen the block (``Disallow: /*.php`` must not
+    become ``Disallow: /``). The reference's effective posture is
+    allow-everything (Scrapy ROBOTSTXT_OBEY=False, settings.py:61);
+    this engine gates per the north rule, erring toward that posture
+    on inexpressible rules."""
     rules: list[dict] = []
     current_uas: list[str] = []
     in_records = False
@@ -146,7 +150,11 @@ def robots_rules_from_txt(
             in_records = True
             if "*" not in current_uas and user_agent.lower() not in current_uas:
                 continue
-            prefix = val.split("*", 1)[0]
+            prefix = val.rstrip("*")  # trailing * is a prefix no-op
+            if "*" in prefix:
+                if key == "disallow":
+                    continue  # inexpressible as a prefix; skipping = allow
+                prefix = prefix.split("*", 1)[0]  # truncation only widens Allow
             if not prefix:
                 continue  # empty Disallow: (allow-all) or leading-wildcard
             rules.append(

@@ -5,10 +5,22 @@ fetcher): an Arrow ``mapInPandas`` over the politeness-capped schedule,
 emitting the identical _RAW_FIELDS schema — so `run_crawl(fetcher=...)`
 swaps transports without touching politeness, admission, the seen set,
 checkpointing, or extraction. The body is stdlib ``urllib.request`` with
-a bounded thread pool per Arrow batch (fetch is I/O-bound; politeness
-already capped per-host concurrency upstream, so the pool only overlaps
-ACROSS hosts), standing in for the reference's Scrapy downloader
-(crawler/spider_project/spiders/base_spider.py:101-149).
+a bounded thread pool per Arrow batch. Politeness caps the per-host
+COUNT per batch (quota); concurrency discipline is enforced HERE by
+grouping each Arrow batch's URLs by host and fetching one host's URLs
+sequentially in a single pool slot — the pool overlaps only ACROSS
+hosts, so a host never sees more than one in-flight request from this
+task. Stands in for the reference's Scrapy downloader
+(crawler/spider_project/spiders/base_spider.py:101-149,
+CONCURRENT_REQUESTS_PER_DOMAIN=1 discipline).
+
+Redirects are NOT followed at the transport (``_NO_REDIRECTS`` handler
+on ``_opener``): a 3xx surfaces as its real status row with the
+resolved ``Location`` as the single outlink, matching the synthetic
+fetcher's 301 contract — the LOOP owns redirect admission (same-depth
+re-enqueue through the seen set / scoping filters), so doc_id and the
+seen set record the pre-redirect URL and the target is admitted like
+any discovered link rather than silently substituted.
 
 Routing parity with the synthetic fetcher:
 - robots.txt URLs   → control rows; `Sitemap:` scan feeds `discovered`
@@ -34,8 +46,10 @@ escalation plumbing is exercised end-to-end either way.
 from __future__ import annotations
 
 import re
+import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -51,6 +65,19 @@ from ..synth import doc_id_of
 from .fetch import _RAW_FIELDS
 
 _SITEMAP_PATH = re.compile(r"/[^/]*sitemap[^/]*\.xml$", re.I)
+
+
+class _NoRedirects(urllib.request.HTTPRedirectHandler):
+    """Surface 3xx as HTTPError rows instead of silently following —
+    the loop owns redirect admission (policy.REDIRECT_STATUSES)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+# transport hook point: strategy levels 1-2 install ProxyHandler /
+# renderer handlers here (module docstring). Redirects never follow.
+_opener = urllib.request.build_opener(_NoRedirects())
 
 # latency buckets (ms) → autothrottle class 0..3, mirroring the
 # synthetic fetcher's 4-class domain
@@ -73,22 +100,23 @@ def _classify(url: str) -> str:
 
 
 def fetch_url(url: str, timeout: float = 10.0, user_agent: str | None = None):
-    """One GET → dict(status, content_type, body, headers, elapsed_ms).
-    Never raises: transport errors become status 0 (retryable class),
-    HTTP errors keep their real status. Body is decoded text for
+    """One GET → dict(status, content_type, body, headers, elapsed_ms,
+    location). Never raises: transport errors become status 0
+    (retryable class), HTTP errors keep their real status. Redirects do
+    NOT follow (``_NoRedirects``): a 3xx row carries its resolved
+    Location target so the loop admits it. Body is decoded text for
     text/xml types, None otherwise (binary payloads flow through the
     multimodal pipeline, not the span parser)."""
     import time
     import urllib.error
-    import urllib.request
 
     req = urllib.request.Request(
         url, headers={"User-Agent": user_agent or "crawler-spark/1.0"}
     )
     t0 = time.monotonic()
-    status, ctype, body, headers = 0, "", None, []
+    status, ctype, body, headers, location = 0, "", None, [], None
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
+        with _opener.open(req, timeout=timeout) as resp:
             status = resp.status
             raw_headers = resp.getheaders()
             ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
@@ -105,6 +133,9 @@ def fetch_url(url: str, timeout: float = 10.0, user_agent: str | None = None):
     except urllib.error.HTTPError as e:
         status = e.code
         ctype = (e.headers.get("Content-Type") or "").split(";")[0].strip()
+        loc = e.headers.get("Location")
+        if 300 <= e.code < 400 and loc:
+            location = urljoin(url, loc)
         headers = sorted(
             {k.lower(): [v] for k, v in (e.headers.items() or [])}.items()
         )
@@ -119,6 +150,7 @@ def fetch_url(url: str, timeout: float = 10.0, user_agent: str | None = None):
         "body": body,
         "headers": headers,
         "elapsed_ms": elapsed_ms,
+        "location": location,
     }
 
 
@@ -148,8 +180,22 @@ def fetch_scheduled_http(
                 else [1 << 30] * len(pdf)
             )
             n = len(pdf)
-            with ThreadPoolExecutor(max_workers=min(threads_per_task, max(n, 1))) as ex:
-                results = list(ex.map(lambda u: fetch_url(u, timeout=timeout), urls))
+            # per-host politeness: one pool slot per host, each host's
+            # URLs fetched sequentially — overlap only ACROSS hosts
+            by_host: dict[str, list[int]] = {}
+            for i, u in enumerate(urls):
+                by_host.setdefault(u.split("/")[2], []).append(i)
+
+            def fetch_host(idxs: list[int]) -> list[tuple[int, dict]]:
+                return [(i, fetch_url(urls[i], timeout=timeout)) for i in idxs]
+
+            results: list[dict] = [None] * n  # type: ignore[list-item]
+            with ThreadPoolExecutor(
+                max_workers=min(threads_per_task, max(len(by_host), 1))
+            ) as ex:
+                for chunk in ex.map(fetch_host, by_host.values()):
+                    for i, r in chunk:
+                        results[i] = r
             cols: dict[str, list] = {
                 k: [None] * n
                 for k in (
@@ -171,6 +217,11 @@ def fetch_scheduled_http(
                           "sm_changefreq", "discovered"):
                     cols[k][i] = []
                 body = r["body"]
+                if r.get("location"):
+                    # 3xx: resolved Location as the single outlink — the
+                    # loop's redirect path admits it at the same depth
+                    cols["outlinks"][i] = [r["location"]]
+                    continue
                 if r["status"] != 200 or body is None:
                     continue
                 host = u.split("/")[2]

@@ -25,6 +25,7 @@ from .functions.urls import (
 )
 from .policy import (
     ACCEPTED_CONTENT_TYPES,
+    REDIRECT_STATUSES,
     RETRYABLE_STATUSES,
     CrawlPolicy,
     order_key,
@@ -283,7 +284,7 @@ def run_oracle(
                     admissions.append(
                         (e.discovery_seq, idx, e.crawl_id, raw, e.depth + 1, 0.0, False)
                     )
-            elif st == 301:
+            elif st in REDIRECT_STATUSES:
                 redirs = synth.outlinks_of(cfg, e.url_norm)
                 if redirs:
                     admissions.append(

@@ -38,26 +38,61 @@ PII_PATTERNS = (
 
 
 def decontaminate_flags(
-    docs: DataFrame, contaminants: DataFrame, n: int = 3
+    docs: DataFrame,
+    contaminants: DataFrame,
+    n: int = 3,
+    broadcast_max_docs: int | None = 100_000,
+    skew_salts: int = 8,
 ) -> DataFrame:
     """Mark corpus docs sharing ANY word n-gram with the contaminant set
     (test-set decontamination). Returns (doc_id, contaminated).
 
-    ``docs`` and ``contaminants`` both need (doc_id, text). The
-    contaminant shingle set is distinct-ed then broadcast into the
-    corpus-shingle semi-join; n=13 is the published pre-training
-    convention, n=3 at sandbox doc lengths."""
+    ``docs`` and ``contaminants`` both need (doc_id, text); n=13 is the
+    published pre-training convention, n=3 at sandbox doc lengths.
+
+    Plan shape is SIZE-GATED (VERDICT r4 #3 — the broadcast used to be
+    unconditional, an OOM trap for large contaminant corpora):
+
+    - contaminant docs <= ``broadcast_max_docs``: the distinct
+      contaminant shingle set is BROADCAST into the corpus-shingle
+      semi-join — the benchmark-suite-sized common case; the corpus is
+      scanned once and never self-joined. The gate costs one count(*) of
+      the contaminant table (count-star pushdown on columnar sources).
+    - larger: a SHUFFLE semi-join on the shingle, skew-proofed by
+      salting — each contaminant shingle is replicated into
+      ``skew_salts`` buckets and the corpus side joins on
+      (shingle, hash(doc_id) % skew_salts), so a hot shingle (stopword
+      run) spreads over ``skew_salts`` partitions instead of one — the
+      ``max_bucket`` move from the minhash path, semantics-preserving.
+      The corpus still shuffles exactly once.
+
+    ``broadcast_max_docs=None`` skips the gate count and always
+    broadcasts (callers that KNOW the contaminant side is tiny)."""
     sh, _ = _shingles("text", n)
     doc_sh = docs.select("doc_id", F.explode(sh).alias("shingle"))
     bad_sh = (
         contaminants.select(F.explode(sh).alias("shingle")).distinct()
     )
-    hit = (
-        doc_sh.join(F.broadcast(bad_sh), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_hit", F.lit(True))
+    small = (
+        broadcast_max_docs is None
+        or contaminants.count() <= broadcast_max_docs
     )
+    if small:
+        hit = doc_sh.join(F.broadcast(bad_sh), "shingle", "left_semi")
+    else:
+        bad_salted = bad_sh.select(
+            "shingle",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(skew_salts - 1))
+            ).alias("_salt"),
+        )
+        doc_salted = doc_sh.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(skew_salts)).cast("int")
+        )
+        hit = doc_salted.join(
+            bad_salted, ["shingle", "_salt"], "left_semi"
+        ).drop("_salt")
+    hit = hit.select("doc_id").distinct().withColumn("_hit", F.lit(True))
     return docs.select("doc_id").join(hit, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated")
     )

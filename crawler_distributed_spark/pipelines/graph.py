@@ -142,11 +142,15 @@ def nodes_of(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
+def pagerank_priority(
+    frontier: DataFrame, ranks: DataFrame, damping: float = 0.85
+) -> DataFrame:
     """Attach PageRank as the numeric priority (policy.py Q2 order-key
     family): frontier rows join their node's rank; unranked rows get the
-    isolated-node floor so ordering stays total."""
-    floor = F.lit(0.15)
+    isolated-node floor ``1 - damping`` (rank of a node with no inbound
+    mass under :func:`pagerank` at the same damping) so ordering stays
+    total and consistent with ranked rows."""
+    floor = F.lit(1.0 - damping)
     return frontier.join(
         ranks.select(F.col("id").alias("_pr_id"), "pr"),
         frontier.doc_id == F.col("_pr_id"),

@@ -61,6 +61,7 @@ from ..functions.sitemaps import sitemap_score_col
 from ..operators.sequence import with_sequence
 from ..policy import (
     ACCEPTED_CONTENT_TYPES,
+    REDIRECT_STATUSES,
     RETRYABLE_STATUSES,
     CrawlPolicy,
 )
@@ -73,6 +74,7 @@ _FRONTIER_COLS = [
 ]
 
 _RETRYABLE_LIST = sorted(RETRYABLE_STATUSES)
+_REDIRECT_LIST = sorted(REDIRECT_STATUSES)
 _ACCEPTED_LIST = sorted(ACCEPTED_CONTENT_TYPES)
 
 
@@ -614,7 +616,7 @@ def run_crawl(
             F.posexplode("outlinks").alias("link_idx", "raw_url"),
         ).withColumn("priority_score", F.lit(0.0))
         redirected = fetched.where(
-            (F.col("status") == 301) & (F.size("outlinks") > 0)
+            F.col("status").isin(_REDIRECT_LIST) & (F.size("outlinks") > 0)
         ).select(
             "crawl_id",
             F.col("discovery_seq").alias("parent_seq"),

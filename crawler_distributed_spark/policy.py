@@ -37,6 +37,12 @@ RETRY_POLICY: dict[int, tuple[float, int]] = {
 
 RETRYABLE_STATUSES = frozenset(RETRY_POLICY)
 FATAL_STATUSES = frozenset({404})
+# L1 redirect class: statuses whose Location target is admitted at the
+# SAME depth (base_spider.py redirect handling via Scrapy's
+# RedirectMiddleware, which covers the whole 3xx family). The synthetic
+# web emits only 301; the real transport (operators/http_fetch) can
+# surface any of these, so the loop and oracle share the full set.
+REDIRECT_STATUSES = frozenset({301, 302, 303, 307, 308})
 # F6 response allowlist (content_filter_middleware.py:43-51): responses of
 # these types are ACCEPTED as pages (stored + counted in the budget);
 # anything else (image/png, ...) is dropped after fetch. robots/sitemap

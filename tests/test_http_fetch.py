@@ -43,7 +43,10 @@ _PAGE_A = """<!doctype html>
 
 _PAGE_B = """<html><head><title>Beta</title></head>
 <body><h2>Section Two</h2><a href="/a.html">back</a>
+<a href="/moved.html">old location</a>
 <a href="http://other.example/x">offsite</a></body></html>"""
+
+_PAGE_C = "<html><head><title>Gamma</title></head><body><p>landed</p></body></html>"
 
 _PAGE_PRIVATE = "<html><head><title>secret</title></head><body>no</body></html>"
 
@@ -69,6 +72,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"<html><body>gone</body></html>")
             return
         body, ctype = entry
+        if ctype == "redirect":
+            self.send_response(301)
+            self.send_header("Location", body)
+            self.end_headers()
+            return
         self.send_response(200)
         self.send_header("Content-Type", ctype)
         self.end_headers()
@@ -97,6 +105,8 @@ def site():
         ),
         "/a.html": (_PAGE_A, "text/html; charset=utf-8"),
         "/b.html": (_PAGE_B, "text/html"),
+        "/c.html": (_PAGE_C, "text/html"),
+        "/moved.html": ("/c.html", "redirect"),
         "/private/secret.html": (_PAGE_PRIVATE, "text/html"),
         "/robots.txt": (_ROBOTS.format(base=base), "text/plain"),
         "/sitemap.xml": (_SITEMAP.format(base=base), "application/xml"),
@@ -146,12 +156,50 @@ def test_html_to_spans_grammar():
     assert offs == sorted(offs) and len(set(offs)) == len(offs)
 
 
+def test_html_to_spans_nested_and_unclosed():
+    # ADVICE r4: nested <a> must not clobber the heading's text; an
+    # unclosed <a> must still emit its link and must not swallow the
+    # rest of the document
+    html = (
+        '<html><body><h1>Hello <a href="/w.html">world</a>!</h1>'
+        '<a href="/dangling.html">dangle'
+        "<p>tail text must survive</p></body></html>"
+    )
+    spans, links = html_to_spans(html, "http://h.example/")
+    by_kind = {}
+    for k, text, ref, off in spans:
+        by_kind.setdefault(k, []).append((text, ref))
+    assert by_kind["heading"] == [("h1: Hello world!", None)]
+    assert ("world", "http://h.example/w.html") in by_kind["link"]
+    assert ("dangle", "http://h.example/dangling.html") in by_kind["link"]
+    assert links == ["http://h.example/w.html", "http://h.example/dangling.html"]
+    assert any("tail text must survive" in (t or "") for t, _ in by_kind["text"])
+    offs = [s[3] for s in spans]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_html_to_spans_dangling_at_eof():
+    # capture still open at EOF drains at close() instead of vanishing
+    spans, links = html_to_spans(
+        '<html><body><a href="/x.html">never closed', "http://h.example/"
+    )
+    assert links == ["http://h.example/x.html"]
+    assert [(s[1], s[2]) for s in spans if s[0] == "link"] == [
+        ("never closed", "http://h.example/x.html")
+    ]
+
+
 def test_fetch_url_statuses(site):
     ok = fetch_url(f"{site}/a.html")
     assert ok["status"] == 200 and ok["content_type"] == "text/html"
     assert "Alpha" in ok["body"]
     assert any(k == "content-type" for k, _ in ok["headers"])
     assert fetch_url(f"{site}/nope.html")["status"] == 404
+    # redirects surface as status rows with the resolved target — the
+    # transport never silently follows (ADVICE r4)
+    moved = fetch_url(f"{site}/moved.html")
+    assert moved["status"] == 301
+    assert moved["location"] == f"{site}/c.html"
     # closed port → transport error class, never an exception
     assert fetch_url("http://127.0.0.1:9/x", timeout=0.5)["status"] == 0
     xml = fetch_url(f"{site}/sitemap.xml")
@@ -227,18 +275,24 @@ def test_http_crawl_end_to_end(spark, site, tmp_path):
     )
     fetched = res._fetched(spark)
     got = {r.url_norm: r for r in fetched.collect()}
-    # all three public pages crawled exactly once; the robots-blocked
+    # all public pages crawled exactly once; the robots-blocked
     # /private/ page was linked from /a.html but never fetched
     assert f"{site}/" in got and f"{site}/a.html" in got and f"{site}/b.html" in got
     assert f"{site}/private/secret.html" not in got
-    assert len([u for u in got if got[u].doc_class == "content"]) == 3
+    # /moved.html surfaced as a REAL 301 row (transport never follows);
+    # the loop admitted its Location target /c.html at the same depth
+    mv = got[f"{site}/moved.html"]
+    assert mv.status == 301 and mv.outlinks == [f"{site}/c.html"]
+    assert got[f"{site}/c.html"].status == 200
+    pages = [u for u in got if got[u].doc_class == "content" and got[u].status == 200]
+    assert len(pages) == 4  # /, a, b, c — the 301 row is not a page
     # real spans flowed through: /a.html carries its parsed grammar
     a = got[f"{site}/a.html"]
     assert ("title", "Alpha Page") in [(s.kind, s.text) for s in a.spans]
     # offsite link was scoped out by F4
     assert "http://other.example/x" not in got
     # budget accounting saw exactly the 3 content pages
-    assert res.pages_dict(spark)["crawl-http"] == 3
+    assert res.pages_dict(spark)["crawl-http"] == 4
     # the W-extraction families run unchanged on the REAL crawled spans:
     # one parse_docs select over the loop's own fetched table
     from crawler_distributed_spark.extract.spans import parse_docs
@@ -270,7 +324,10 @@ User-agent: *
 User-agent: other-bot
 Disallow: /private/
 Allow: /private/open/
+Allow: /pub*lic
 Disallow: /tmp*junk
+Disallow: /admin*
+Disallow: /*.php
 Disallow: *leading
 Disallow:
 
@@ -279,13 +336,17 @@ Disallow: /
 """
     rows = robots_rules_from_txt(txt, "h.example")
     got = {(r["path_prefix"], r["allow"]) for r in rows}
-    # our group ('*') rules present; wildcard truncated at first '*';
-    # leading-wildcard and empty Disallow skipped; other groups ignored
+    # our group ('*') rules present; wildcard handling conservative
+    # toward allowing: trailing-* dropped (prefix no-op), mid-* Allow
+    # truncated (widening an Allow is safe), mid-*/leading-* Disallow
+    # SKIPPED — truncating '/*.php' to '/' would block the whole host
     assert ("/private/", False) in got
     assert ("/private/open/", True) in got
-    assert ("/tmp", False) in got
+    assert ("/pub", True) in got  # Allow truncated at '*'
+    assert ("/admin", False) in got  # trailing-* Disallow kept as prefix
+    assert not any("tmp" in p for p, _ in got)  # mid-* Disallow skipped
     assert ("/google-only/", False) not in got
-    assert ("/", True) in got  # default allow appended
+    assert ("/", True) in got  # default allow appended (no '/' Disallow row)
     assert not any(p.startswith("*") or "leading" in p for p, _ in got)
     # a '*' group that disallows '/' must NOT get the default-allow row
     rows2 = robots_rules_from_txt("User-agent: *\nDisallow: /", "h.example")

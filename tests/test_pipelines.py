@@ -149,12 +149,11 @@ def test_dup_clusters_long_chain_log_rounds_one_job_per_round(spark):
     # doubling covers distance 2^r - 1 after r rounds -> 63 needs 6
     # rounds + 1 unchanged round to detect the fixpoint
     assert stats["rounds"] <= 9, stats
-    # two executions per round — the lazy localCheckpoint registers its
-    # materialization as one execution and the convergence count (served
-    # from the cached blocks, no recompute) as another — plus edge/label
-    # init and the final collect. The load-bearing bound is `rounds`
-    # above; this one pins that no EXTRA full pass sneaks into a round.
-    assert executions <= 2 * stats["rounds"] + 4, (executions, stats)
+    # ONE execution per round (VERDICT r4 #5): the eager localCheckpoint
+    # materializes the round and the convergence signal rides it as an
+    # observe() metric — zero dedicated count actions. +4 slack covers
+    # edge/label init and the final collect.
+    assert executions <= stats["rounds"] + 4, (executions, stats)
 
 
 def test_dup_clusters_warns_when_not_converged(spark):
@@ -491,6 +490,73 @@ def test_decontamination_marks_overlapping_docs(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontamination_shuffle_fallback(spark):
+    """VERDICT r4 #3: a contaminant corpus over the broadcast gate must
+    downgrade to the salted SHUFFLE semi-join (no broadcast of the bad
+    shingle set) and produce the identical flags."""
+    from crawler_distributed_spark.pipelines import cleaning
+
+    corpus = spark.createDataFrame(
+        [(i, f"filler words {i} the quick brown fox" if i % 2 == 0
+          else f"clean document number {i} about spark") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + j, f"suite item {j} with the quick brown fox inside")
+         for j in range(5)],
+        "doc_id long, text string",
+    )
+    small = cleaning.decontaminate_flags(corpus, bench, n=3)
+    big = cleaning.decontaminate_flags(
+        corpus, bench, n=3, broadcast_max_docs=1
+    )
+    assert (
+        {(r.doc_id, r.contaminated) for r in small.collect()}
+        == {(r.doc_id, r.contaminated) for r in big.collect()}
+    )
+    # plan shapes, asserted on the OPTIMIZED plan (pre-AQE): the small
+    # path FORCES a broadcast hint on the semi-join; the fallback carries
+    # no hint — at runtime AQE may still broadcast a genuinely tiny side
+    # (stats-driven, desired), but a huge one keeps the shuffle join
+    # instead of OOMing on a forced broadcast.
+    def semi_lines(df):
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in txt.splitlines() if "LeftSemi" in ln]
+
+    assert any(
+        "strategy=broadcast" in ln for ln in semi_lines(small)
+    ), semi_lines(small)
+    assert semi_lines(big) and all(
+        "broadcast" not in ln.lower() for ln in semi_lines(big)
+    ), semi_lines(big)
+    # the salt column rides the fallback's semi-join key
+    assert any("_salt" in ln for ln in semi_lines(big)), semi_lines(big)
+
+
+def test_decontamination_n13_long_docs(spark):
+    """The published n=13 convention: a 13-gram overlap contaminates, a
+    12-word overlap does not."""
+    from crawler_distributed_spark.pipelines import cleaning
+
+    overlap13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    overlap12 = " ".join(overlap13.split()[:12])
+    corpus = spark.createDataFrame(
+        [
+            (0, f"prefix words {overlap13} suffix tail"),
+            (1, f"prefix words {overlap12} different ending here"),
+            (2, "wholly unrelated body of text with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {overlap13} answer choices")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in
+           cleaning.decontaminate_flags(corpus, bench, n=13).collect()}
+    assert got == {0: True, 1: False, 2: False}
+
+
 def test_repetition_ratio(spark):
     from crawler_distributed_spark.pipelines import cleaning
     from pyspark.sql import functions as F
@@ -526,3 +592,86 @@ def test_pii_scrub_and_count(spark):
     assert "192.168" not in row.clean
     assert "555 010" not in row.clean
     assert row.n == 3
+
+
+# ---------------------------------------------------------------------------
+# real learned-BPE tokenization (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encoder_semantics():
+    """Committed-merges replay: a training-vocabulary word collapses to
+    one token, an unseen word splits into >1 real subwords (never
+    per-char unless genuinely unmergeable), and counts are additive over
+    the pre-tokenizer."""
+    from crawler_distributed_spark.pipelines import bpe
+
+    ranks = bpe.load_merge_ranks()
+    assert len(ranks) > 50
+    assert bpe.encode_word("customer", ranks) == ["customer</w>"]
+    unseen = bpe.encode_word("customerize", ranks)
+    assert 1 < len(unseen) < len("customerize") + 1
+    assert "".join(unseen).replace("</w>", "") == "customerize"
+    assert bpe.bpe_token_count_py("customer customer") == 2
+    assert bpe.bpe_token_count_py("") == 0
+    # 2 vocab words (1 token each) + 2 punct marks never seen in
+    # training (char + </w> = 2 symbols each)
+    assert bpe.bpe_token_count_py("customer, fast!") == 6
+
+
+def test_bpe_greedy_equals_rank_order_replay():
+    """The engine's greedy lowest-rank-first loop must agree with the
+    independent in-rank-order scan encoder (the shipped oracle's code
+    path) on vocabulary words, novel compounds, and adversarial
+    repeats."""
+    from crawler_distributed_spark.pipelines import bpe
+
+    ranks = bpe.load_merge_ranks()
+    merges = sorted(ranks.items(), key=lambda kv: kv[1])
+
+    def rank_order_encode(word):
+        syms = list(word) + [bpe.END_OF_WORD]
+        for (a, b), _ in merges:
+            if len(syms) == 1:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = {a + b.replace("</w>", "") for (a, b), _ in merges}
+    words |= {"customer", "sparkplanner", "aabbccdd", "zzz", "q",
+              "tablestablestables", "thethethe", "1234", "x" * 40}
+    for w in sorted(words):
+        assert bpe.encode_word(w, ranks) == rank_order_encode(w), w
+
+
+def test_bpe_spark_operator_matches_pure_python(spark):
+    """The distributed Arrow-UDF path returns exactly the pure-Python
+    counts, and the corpus is hash-repartitioned before the Python
+    stage (CLAUDE.md rule)."""
+    from pyspark.sql import functions as F
+
+    from crawler_distributed_spark.pipelines import bpe
+
+    rows = [
+        (0, "the customer query ran fast, very fast."),
+        (1, "sparkplanner checkpointing tokenizers"),
+        (2, ""),
+        (3, None),
+        (4, "value value value merge batch"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in bpe.bpe_token_counts(docs).collect()}
+    assert got == {
+        i: bpe.bpe_token_count_py(t or "") for i, t in rows
+    }
+    plan = bpe.bpe_token_counts(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "hashpartitioning(doc_id" in plan
