@@ -498,6 +498,46 @@ def _ship_oracle_trace() -> str:
     return path
 
 
+def _ship_oracle_host_stats() -> str:
+    """A1 per-domain fetch stats (VERDICT r4 #6): run the pure-Python
+    oracle on the trace config and ship its per-(crawl, batch, host)
+    requests/successes/failures/bytes rows — the engine's
+    CrawlRunResult.metrics() over its own fetched table must aggregate
+    to exactly these (stats_middleware.py:86-98,214-239 semantics)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.oracle import run_oracle
+    from crawler_distributed_spark.policy import CrawlPolicy
+
+    path = os.path.join(_SHIP_DIR, "oracle_host_stats.parquet")
+    os.makedirs(_SHIP_DIR, exist_ok=True)
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    res = run_oracle(
+        cfg, synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES), CrawlPolicy()
+    )
+    keys = sorted(res.host_metrics)
+    vals = [res.host_metrics[k] for k in keys]
+    pq.write_table(
+        pa.table(
+            {
+                "crawl_id": pa.array([k[0] for k in keys], pa.string()),
+                "batch_id": pa.array([k[1] for k in keys], pa.int64()),
+                "host": pa.array([k[2] for k in keys], pa.string()),
+                "requests": pa.array([v[0] for v in vals], pa.int64()),
+                "successes": pa.array([v[1] for v in vals], pa.int64()),
+                "failures": pa.array([v[2] for v in vals], pa.int64()),
+                "bytes": pa.array([v[3] for v in vals], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def _ship_oracle_bpe() -> str:
     """INDEPENDENT BPE encoder for the real_bpe_token_counts oracle: it
     applies the committed merges IN RANK ORDER with a full scan-replace
@@ -660,6 +700,37 @@ def q_crawl_trace_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ck, ignore_errors=True)  # our own scratch dir, always fresh
     res = run_crawl(spark, cfg, seeds, robots, ck, CrawlPolicy())
     return res.trace(spark).orderBy("batch_id", "crawl_id", "seq_in_batch")
+
+
+def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-domain fetch stats over the crawl's OWN output (VERDICT r4
+    #6): run the loop on the trace config and aggregate its fetched
+    table to per-(crawl, batch, host) requests/successes/failures/bytes
+    (CrawlRunResult.metrics). The DuckDB oracle reads the pure-Python
+    oracle's independently accumulated counters for the same config."""
+    import shutil
+
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.plans.frontier_loop import run_crawl
+    from crawler_distributed_spark.policy import CrawlPolicy
+
+    cfg = synth.SynthConfig(**_TRACE_CFG)
+    seeds = synth.seed_rows(cfg, max_pages=_TRACE_MAX_PAGES)
+    robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
+    ck = f"{_SHIP_DIR}/ck_host_stats"
+    shutil.rmtree(ck, ignore_errors=True)  # our own scratch dir, always fresh
+    res = run_crawl(spark, cfg, seeds, robots, ck, CrawlPolicy())
+    return (
+        res.metrics(spark)
+        .select(
+            "crawl_id", "batch_id", "host",
+            F.col("requests").cast("long").alias("requests"),
+            F.col("successes").cast("long").alias("successes"),
+            F.col("failures").cast("long").alias("failures"),
+            F.col("bytes").cast("long").alias("bytes"),
+        )
+        .orderBy("crawl_id", "batch_id", "host")
+    )
 
 
 def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_bpe_token_counts": q_real_bpe_token_counts,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "crawl_trace_synthetic": q_crawl_trace_synthetic,
+        "crawl_host_stats": q_crawl_host_stats,
         "queue_health": q_queue_health,
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
@@ -1245,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
     span_path = _ship_span_docs()
     health_path = _ship_oracle_health()
     bpe_path = _ship_oracle_bpe()
+    host_stats_path = _ship_oracle_host_stats()
     # page-builder class-token CASE list, generated from the SAME
     # signature table the engine uses (extract/spans.py) so the two
     # sides cannot drift
@@ -1770,6 +1843,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT crawl_id, batch_id, seq_in_batch, url_norm, host, depth
             FROM read_parquet('{trace_path}')
             ORDER BY batch_id, crawl_id, seq_in_batch
+        """,
+        # crawl_host_stats: the SQL side reads the PURE-PYTHON oracle's
+        # per-(crawl, batch, host) fetch counters, accumulated inside its
+        # own scheduling loop — the engine's groupBy over its fetched
+        # table must agree on every requests/successes/failures/bytes
+        # cell (A1, stats_middleware.py:86-98,214-239).
+        "crawl_host_stats": f"""
+            SELECT crawl_id, batch_id, host,
+                   requests, successes, failures, bytes
+            FROM read_parquet('{host_stats_path}')
+            ORDER BY crawl_id, batch_id, host
         """,
         # queue_health: the SQL side reads the PURE-PYTHON oracle's
         # expected per-crawl health rows computed from ITS final frontier

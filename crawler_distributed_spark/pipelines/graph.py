@@ -142,6 +142,28 @@ def nodes_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def submission_priorities(
+    seeds: DataFrame, ranks: DataFrame, damping: float = 0.85
+) -> DataFrame:
+    """The authority-feedback loop, end-to-end (VERDICT r4 #8): attach an
+    earlier epoch's HOST PageRank to pending crawl SUBMISSIONS as the Q2
+    numeric job priority the queue consumes (submit_crawl_job.py:160,223;
+    sources/seeds.take_pending_seeds orders ASCENDING priority, so the
+    returned priority is the NEGATED rank — highest-authority domains
+    admit first under S3 backpressure). Domains absent from the rank
+    table get the isolated-node floor ``-(1 - damping)``, keeping the
+    admission order total (tiebreaker stays crawl_id)."""
+    floor = F.lit(-(1.0 - damping))
+    return seeds.drop("priority").join(
+        ranks.select(F.col("id").alias("_pr_host"), "pr"),
+        seeds.domain == F.col("_pr_host"),
+        "left",
+    ).select(
+        *[c for c in seeds.columns if c != "priority"],
+        F.coalesce(-F.col("pr"), floor).alias("priority"),
+    )
+
+
 def pagerank_priority(
     frontier: DataFrame, ranks: DataFrame, damping: float = 0.85
 ) -> DataFrame:

@@ -98,6 +98,15 @@ class CrawlRunResult:
     batch_seconds: list | None = None  # wall time of each executed batch
     _max_failed: int = 20              # policy.max_failed_pages at run time
     _default_cap: int = 1 << 30        # policy.max_batches_per_crawl (or inf)
+    # order-insensitive output hashes ACCUMULATED batch-by-batch as
+    # observe() metrics on the writes that run anyway (bit_xor is
+    # associative/commutative, so the XOR of per-batch bit_xors equals
+    # the full-table scan bit-for-bit — pinned by
+    # tests/test_trace_equality.py). Set only on fresh, complete runs:
+    # {"trace_rows", "trace_hash", "seen_rows", "seen_hash"}. A resumed
+    # or stop_after_batch run leaves this None (partial accumulation
+    # would be a lie) and callers fall back to the full scan.
+    out_hashes: dict | None = None
 
     def budget(self, spark: SparkSession) -> DataFrame:
         """Per-crawl budget state (pages/failed/max_pages/max_batches) as
@@ -291,16 +300,21 @@ def init_crawl(
     rows = []
     for idx, s in enumerate(ordered):
         seed_url = s["url"] or f"https://{s['domain']}/"
-        rows.append((s["crawl_id"], seed_url, canonicalize_url(seed_url), 0, idx, 0))
-    cand = (
-        spark.createDataFrame(
-            rows,
-            "crawl_id string, url string, url_norm string, parent_seq long, "
-            "link_idx int, depth int",
+        # the submission's Q2 numeric priority (e.g. an earlier epoch's
+        # PageRank via pipelines/graph.submission_priorities) rides the
+        # seed frontier row. Sign convention: submissions order ASCENDING
+        # (queue style), the loop's order key DESCENDING on
+        # priority_score — so the row carries the negation; the oracle
+        # applies the same rule.
+        pri = -float(s.get("priority") or 0.0)
+        rows.append(
+            (s["crawl_id"], seed_url, canonicalize_url(seed_url), 0, idx, 0, pri)
         )
-        .withColumn("host", host_col(F.col("url_norm")))
-        .withColumn("priority_score", F.lit(0.0))
-    )
+    cand = spark.createDataFrame(
+        rows,
+        "crawl_id string, url string, url_norm string, parent_seq long, "
+        "link_idx int, depth int, priority_score double",
+    ).withColumn("host", host_col(F.col("url_norm")))
     empty_seen = spark.createDataFrame([], "crawl_id string, url_norm string")
     deduped = dedup_in_batch(
         cand.withColumnRenamed("url", "raw_url")
@@ -310,7 +324,17 @@ def init_crawl(
     unseen = filter_unseen(deduped, empty_seen)
     admitted = gate_robots(unseen, robots_rules)
 
-    store.write_table(_admitted_wide(admitted, -1), -1, "admitted")
+    seed_obs = Observation("seen-init")
+    store.write_table(
+        _admitted_wide(admitted, -1).observe(
+            seed_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(crawl_id, url_norm))").alias("h"),
+        ),
+        -1,
+        "admitted",
+    )
+    sm = seed_obs.get
     admitted_r = store.read_table(spark, -1, "admitted")
 
     queued, n_queued = with_sequence(
@@ -329,7 +353,7 @@ def init_crawl(
     )
     store.write_table(budget, -1, "budget")
     store.commit(-1, {"next_seq": int(n_queued)})
-    return frontier, int(n_queued)
+    return frontier, int(n_queued), (int(sm["n"] or 0), int(sm["h"] or 0))
 
 
 def run_crawl(
@@ -372,12 +396,22 @@ def run_crawl(
             & (F.lit(b) < F.coalesce(F.col("max_batches"), F.lit(_default_cap)))
         )
 
+    # output-hash accumulators (see CrawlRunResult.out_hashes): valid only
+    # for fresh runs — a resume cannot cheaply reconstruct the prior
+    # batches' contributions without the full scan it exists to avoid
+    acc: dict | None = None
     if not resume or last is None:
         if last is not None:
             raise ValueError(
                 f"checkpoint {checkpoint_dir} already has state; pass resume=True"
             )
-        frontier, next_seq = init_crawl(spark, seeds, robots_rules, store)
+        frontier, next_seq, (seed_n, seed_h) = init_crawl(
+            spark, seeds, robots_rules, store
+        )
+        acc = {
+            "trace_rows": 0, "trace_hash": 0,
+            "seen_rows": seed_n, "seen_hash": seed_h,
+        }
         last = -1
     else:
         manifest = store.read_manifest(last)
@@ -521,13 +555,30 @@ def run_crawl(
             _fetch = fetcher or (
                 lambda s, hint: fetch_scheduled(s, cfg, n_rows_hint=hint)
             )
+            # the run's trace hash rides this write as an Observation —
+            # XOR-accumulated per batch, it equals the end-of-run
+            # full-trace bit_xor scan bit-for-bit (associativity), so
+            # callers like scripts/scaling_run.py need no final
+            # O(total-urls) aggregation job at all (VERDICT r4 #1)
+            tr_obs = Observation(f"trace-{batch}")
             store.write_table(
                 _fetch(scheduled, n_elig).withColumn(
                     "batch_id", F.lit(batch).cast("long")
+                ).observe(
+                    tr_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(
+                        "bit_xor(xxhash64("
+                        "crawl_id, batch_id, seq_in_batch, url_norm, depth))"
+                    ).alias("h"),
                 ),
                 batch,
                 "fetched",
             )
+            if acc is not None:
+                tm = tr_obs.get
+                acc["trace_rows"] += int(tm["n"] or 0)
+                acc["trace_hash"] ^= int(tm["h"] or 0)
         fetched = store.read_table(spark, batch, "fetched")
 
         # ONE aggregation pass over the fetched read for both budget
@@ -718,12 +769,19 @@ def run_crawl(
         with _timed("admission write"):
             store.write_table(
                 _admitted_wide(admitted, batch).observe(
-                    adm_obs, F.count(F.lit(1)).alias("n")
+                    adm_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # seen-set hash contribution (see tr_obs above)
+                    F.expr("bit_xor(xxhash64(crawl_id, url_norm))").alias("h"),
                 ),
                 batch,
                 "admitted",
             )
-        n_admitted_rows = int(adm_obs.get["n"] or 0)
+        am = adm_obs.get
+        n_admitted_rows = int(am["n"] or 0)
+        if acc is not None:
+            acc["seen_rows"] += n_admitted_rows
+            acc["seen_hash"] ^= int(am["h"] or 0)
         admitted_r = store.read_table(spark, batch, "admitted")
 
         robots_ok_rows = admitted_r.where("robots_ok")
@@ -953,4 +1011,5 @@ def run_crawl(
     return CrawlRunResult(
         store, final, batch_seconds,
         policy.max_failed_pages, _default_cap,
+        out_hashes=acc,
     )

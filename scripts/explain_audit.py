@@ -68,6 +68,10 @@ AUDITS = {
     # asserted exactly in tests/test_pipelines.py::
     # test_ann_dim256_and_plan_width_invariance)
     "ann_ivf_dim256": ["BroadcastHashJoin", "!_s17", "!_s250"],
+    # VERDICT r4 #7: same invariants at production dim 768 over the
+    # distributed generator (no per-dimension aggregate columns, corpus
+    # joins stay broadcasts)
+    "ann_ivf_dim768": ["BroadcastHashJoin", "!_s17", "!_s750"],
 }
 
 
@@ -88,6 +92,21 @@ def _build_ann_ivf_dim256(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(c, q, dim=dim, k=3, n_centroids=8, nprobe=4)
+
+
+def _build_ann_ivf_dim768(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from crawler_distributed_spark.pipelines.similarity import (
+        ivf_topk,
+        synthetic_embeddings,
+    )
+
+    c = synthetic_embeddings(spark, 100, 768)
+    q = c.where(F.col("vec_id").isin(3, 42)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(c, q, dim=768, k=3, n_centroids=8, nprobe=4)
 
 
 def _build_seen_bucketed_antijoin(spark, sf_dir):
@@ -125,6 +144,7 @@ EXTRA_PLANS = {
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     "ann_ivf_dim256": (_build_ann_ivf_dim256, {}),
+    "ann_ivf_dim768": (_build_ann_ivf_dim768, {}),
 }
 
 

@@ -58,27 +58,38 @@ def main() -> int:
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
         res = run_crawl(spark, cfg, seeds, robots, d, policy)
-        trace = res.trace(spark)
-        agg = trace.agg(
-            F.count("*").alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(crawl_id, batch_id, seq_in_batch, url_norm, depth))"
-            ).alias("trace_hash"),
-        ).collect()[0]
-        seen_agg = res.seen(spark).agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(crawl_id, url_norm))").alias("seen_hash"),
-        ).collect()[0]
+        if res.out_hashes is not None:
+            # fresh complete run: hashes were XOR-accumulated batch-by-batch
+            # as observe() metrics on writes that ran anyway — zero extra
+            # jobs here (the r4 floor-cut: the final O(total-urls) trace +
+            # seen scans are gone; equality with the scans is pinned by
+            # tests/test_trace_equality.py::test_out_hashes_match_full_scan)
+            oh = res.out_hashes
+            n_trace, trace_hash = oh["trace_rows"], oh["trace_hash"]
+            n_seen, seen_hash = oh["seen_rows"], oh["seen_hash"]
+        else:
+            agg = res.trace(spark).agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(crawl_id, batch_id, seq_in_batch, url_norm, depth))"
+                ).alias("trace_hash"),
+            ).collect()[0]
+            seen_agg = res.seen(spark).agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(crawl_id, url_norm))").alias("seen_hash"),
+            ).collect()[0]
+            n_trace, trace_hash = agg["n"], int(agg["trace_hash"])
+            n_seen, seen_hash = seen_agg["n"], int(seen_agg["seen_hash"])
     elapsed = time.time() - t0
 
     print(json.dumps({
         "cpus": args.cpus,
         "elapsed_sec": round(elapsed, 2),
-        "urls_fetched": agg["n"],
-        "urls_per_sec": round(agg["n"] / elapsed, 2),
-        "trace_hash": int(agg["trace_hash"]),
-        "seen_urls": seen_agg["n"],
-        "seen_hash": int(seen_agg["seen_hash"]),
+        "urls_fetched": n_trace,
+        "urls_per_sec": round(n_trace / elapsed, 2),
+        "trace_hash": trace_hash,
+        "seen_urls": n_seen,
+        "seen_hash": seen_hash,
         "last_batch": res.last_batch,
         "batch_seconds": res.batch_seconds,
     }))

@@ -133,3 +133,69 @@ def test_pagerank_plan_has_no_cartesian(spark, docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_two_epoch_pagerank_feedback_loop(spark, tmp_path):
+    """VERDICT r4 #8, end-to-end authority feedback: epoch-1 crawl →
+    host PageRank over its own fetched table → epoch-2 submission
+    priorities (graph.submission_priorities) → S3 backpressure admits
+    the highest-authority domains first → the epoch-2 crawl's trace and
+    seen set equal the pure-Python oracle given the SAME rank table."""
+    from crawler_distributed_spark import synth
+    from crawler_distributed_spark.oracle import run_oracle
+    from crawler_distributed_spark.plans.frontier_loop import run_crawl
+    from crawler_distributed_spark.policy import CrawlPolicy
+    from crawler_distributed_spark.sources.seeds import take_pending_seeds
+
+    cfg = synth.SynthConfig(n_hosts=4, pages_base=6, hot_factor=2, branching=4)
+    pol = CrawlPolicy()
+    seeds1 = synth.seed_rows(cfg, max_pages=4)
+    robots = spark.createDataFrame(synth.robots_rule_rows(cfg))
+
+    # --- epoch 1: crawl, then rank hosts from the crawl's own output
+    res1 = run_crawl(spark, cfg, seeds1, robots, str(tmp_path / "e1"), pol)
+    edges = graph.host_edges_from_fetched(res1._fetched(spark))
+    ranks = graph.pagerank(graph.nodes_of(edges), edges, n_iters=3)
+
+    # --- epoch 2: rank-prioritized submissions through S3 backpressure
+    seeds2 = synth.seed_rows(cfg, max_pages=4)
+    pending = spark.createDataFrame(
+        seeds2,
+        "crawl_id string, domain string, url string, max_pages int, "
+        "single_url boolean, use_sitemap boolean, priority int, "
+        "project_id string",
+    )
+    prioritized = graph.submission_priorities(pending, ranks)
+    admitted_rows = take_pending_seeds(prioritized, capacity=2).collect()
+    admitted = [r.asDict() for r in admitted_rows]
+    assert len(admitted) == 2
+    # the admission order IS the rank order (ascending priority = -pr)
+    rank_map = {r.id: r.pr for r in ranks.collect()}
+    by_rank = sorted(
+        seeds2, key=lambda s: (-rank_map.get(s["domain"], 0.15), s["crawl_id"])
+    )
+    assert [a["crawl_id"] for a in admitted] == [
+        s["crawl_id"] for s in by_rank[:2]
+    ]
+    # the nonzero priorities flow through BOTH implementations: engine
+    # trace/seen == oracle trace/seen given the same rank table
+    res2 = run_crawl(spark, cfg, admitted, robots, str(tmp_path / "e2"), pol)
+    orc = run_oracle(cfg, admitted, pol)
+    got_trace = [
+        (r.crawl_id, r.batch_id, r.seq_in_batch, r.url_norm, r.host, r.depth)
+        for r in res2.trace(spark)
+        .orderBy("batch_id", "crawl_id", "seq_in_batch")
+        .collect()
+    ]
+    want_trace = sorted(orc.trace, key=lambda t: (t[1], t[0], t[2]))
+    assert got_trace == [tuple(t) for t in want_trace]
+    got_seen = {
+        (r.crawl_id, r.url_norm) for r in res2.seen(spark).collect()
+    }
+    want_seen = {
+        (cid, u) for cid, urls in orc.seen.items() for u in urls
+    }
+    assert got_seen == want_seen
+    # and the seed rows carried the negated submission priority
+    pri = {a["crawl_id"]: a["priority"] for a in admitted}
+    assert all(p < 0 for p in pri.values())

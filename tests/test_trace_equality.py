@@ -351,3 +351,39 @@ def test_resume_from_pure_delta_replay(spark, tmp_path, oracle_result):
     for r in res.seen(spark).collect():
         seen.setdefault(r.crawl_id, set()).add(r.url_norm)
     assert seen == oracle_result.seen
+
+
+def test_out_hashes_match_full_scan(spark, engine_result):
+    """The observe()-accumulated output hashes (CrawlRunResult.out_hashes,
+    the r4 floor-cut: scaling_run pays ZERO final aggregation jobs) must
+    equal the full trace/seen scans bit-for-bit — bit_xor is associative
+    and commutative, so the XOR of per-batch bit_xors is the table scan."""
+    from pyspark.sql import functions as F
+
+    oh = engine_result.out_hashes
+    assert oh is not None
+    agg = engine_result.trace(spark).agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(crawl_id, batch_id, seq_in_batch, url_norm, depth))"
+        ).alias("h"),
+    ).collect()[0]
+    assert (oh["trace_rows"], oh["trace_hash"]) == (agg["n"], int(agg["h"]))
+    seen = engine_result.seen(spark).agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(crawl_id, url_norm))").alias("h"),
+    ).collect()[0]
+    assert (oh["seen_rows"], oh["seen_hash"]) == (seen["n"], int(seen["h"]))
+
+
+def test_resumed_run_has_no_out_hashes(spark, tmp_path):
+    """A resumed run cannot cheaply reconstruct prior batches' hash
+    contributions — it must return out_hashes=None (callers fall back to
+    the full scan) rather than a silently partial accumulation."""
+    d = str(tmp_path / "oh_resume")
+    robots = spark.createDataFrame(synth.robots_rule_rows(CFG))
+    pol = CrawlPolicy(checkpoint_every=1)
+    part = run_crawl(spark, CFG, SEEDS, robots, d, pol, stop_after_batch=1)
+    assert part.out_hashes is None
+    full = run_crawl(spark, CFG, SEEDS, robots, d, pol, resume=True)
+    assert full.out_hashes is None
