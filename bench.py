@@ -86,7 +86,13 @@ def main() -> int:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     t0 = time.time()
-    _materialize(ivf_topk(c768, q768, dim=768, k=10, n_centroids=64, nprobe=8))
+    _materialize(
+        # kernel="auto" → the Arrow matmul kernel above dim 256 (the
+        # scale path); the SQL kernel stays the hash-gated oracle path
+        ivf_topk(
+            c768, q768, dim=768, k=10, n_centroids=64, nprobe=8, kernel="auto"
+        )
+    )
     dt = time.time() - t0
     timings["ann_ivf_dim768"] = round(dt, 3)
     total += dt

@@ -677,10 +677,13 @@ def test_bpe_spark_operator_matches_pure_python(spark):
     assert "hashpartitioning(doc_id" in plan
 
 
-def test_ann_dim768_recall_at_10(spark):
+@pytest.mark.parametrize("kernel", ["sql", "arrow"])
+def test_ann_dim768_recall_at_10(spark, kernel):
     """VERDICT r4 #7: production-dim evidence — at dim=768 the IVF path
     must hold recall@10 >= 0.8 vs exact brute force (the same floor the
-    low-dim recall test pins), with self-match at rank 1."""
+    low-dim recall test pins), with self-match at rank 1. Both kernels:
+    "sql" (the hash-gated oracle form) and "arrow" (the numpy-matmul
+    mapInPandas form kernel="auto" selects above dim 256)."""
     c = similarity.synthetic_embeddings(spark, 1500, 768)
     q = c.where(F.col("vec_id").isin(7, 300, 1111)).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -689,7 +692,7 @@ def test_ann_dim768_recall_at_10(spark):
     for r in similarity.brute_force_topk(c, q, k=10).collect():
         bf.setdefault(r.query_id, []).append(r.vec_id)
     for r in similarity.ivf_topk(
-        c, q, dim=768, k=10, n_centroids=16, nprobe=8
+        c, q, dim=768, k=10, n_centroids=16, nprobe=8, kernel=kernel
     ).collect():
         ivf.setdefault(r.query_id, []).append(r.vec_id)
     for qid in (7, 300, 1111):
