@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "link_pagerank_topk",
     "token_counts",
+    "real_bpe_token_counts",
     "quality_scores",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -114,7 +115,10 @@ def main() -> int:
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
         res = run_crawl(spark, cfg, seeds, robots, d, policy)
-        n_trace = res.trace(spark).count()
+        # fresh runs carry the trace row count as an observe() metric
+        # accumulated on the batch writes — no final O(n) count job
+        oh = res.out_hashes
+        n_trace = oh["trace_rows"] if oh else res.trace(spark).count()
     crawl_dt = time.time() - t0
     timings["crawl_synthetic"] = round(crawl_dt, 3)
     total += crawl_dt
