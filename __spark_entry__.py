@@ -437,7 +437,7 @@ def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return bpe_token_counts(docs).orderBy("doc_id")
+    return bpe_token_counts(docs, n_docs_hint=_BPE_N_DOCS).orderBy("doc_id")
 
 
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

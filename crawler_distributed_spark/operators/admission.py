@@ -118,9 +118,17 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
     (lib/utils/url_utils.py:459-480) expressed as a keyed min-select.
 
     Implemented as groupBy + min_by struct (partial aggregation map-side)
-    rather than a window, so it shuffles each key once and never sorts."""
+    rather than a window, so it shuffles each key once and never sorts.
+
+    The grouping key is exactly (crawl_id, url_norm) — the keys of the
+    downstream seen anti-join. ``host`` is a pure function of url_norm
+    and the allowed-host pair is constant per crawl_id, so carrying them
+    in the min_by payload instead of the key changes nothing — but it
+    lets Spark REUSE this aggregation's hashpartitioning for the
+    anti-join (guide §2.4: two operations keyed the same way share one
+    exchange), removing one full shuffle of the deduped batch."""
     has_prio = "priority_score" in canon.columns
-    payload = ["parent_seq", "link_idx", "depth", "raw_url"] + (
+    payload = ["parent_seq", "link_idx", "depth", "raw_url", "host"] + (
         ["priority_score"] if has_prio else []
     )
     winner = F.min_by(
@@ -129,7 +137,7 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
     out = [
         "crawl_id",
         "url_norm",
-        "host",
+        F.col("w.host").alias("host"),
         F.col("w.parent_seq").alias("parent_seq"),
         F.col("w.link_idx").alias("link_idx"),
         F.col("w.depth").alias("depth"),
@@ -138,8 +146,7 @@ def dedup_in_batch(canon: DataFrame) -> DataFrame:
     if has_prio:
         out.append(F.col("w.priority_score").alias("priority_score"))
     return (
-        canon.groupBy("crawl_id", "url_norm", "host",
-                      "allowed_host_1", "allowed_host_2")
+        canon.groupBy("crawl_id", "url_norm")
         .agg(winner)
         .select(*out)
     )
@@ -196,7 +203,15 @@ def filter_unseen(
     if bloom is not None:
         from .seen_filter import bloom_split
 
-        tagged = bloom_split(deduped, bloom)
+        # Materialize the tagged batch ONCE: the novel/maybe union consumes
+        # it twice, and Catalyst otherwise re-evaluates the whole upstream
+        # filter → canonicalize (Python) → dedup pipeline per branch — the
+        # before-plan carried two full copies of the admission subtree, one
+        # with the canonicalize UDF additionally duplicated around a pushed
+        # join-key filter (guide §4.4). The lazy localCheckpoint costs one
+        # O(batch) cache write and cuts the candidate pipeline to a single
+        # evaluation; values are per-row pure, so output is unchanged.
+        tagged = bloom_split(deduped, bloom).localCheckpoint(eager=False)
         novel = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
         return novel.unionByName(_anti_seen(maybe, url_seen))

@@ -99,6 +99,27 @@ def select_fetch_batch(
             .drop("_salt")
         )
 
+    window_input_bound = (
+        hosts_per_crawl_bound * policy.quota_per_host
+        if hosts_per_crawl_bound is not None
+        else None
+    )
+    use_crawl_window = (
+        window_input_bound is not None
+        and window_input_bound <= policy.seq_singlepart_threshold
+    ) or (n_eligible is not None and n_eligible <= policy.seq_singlepart_threshold)
+    if use_crawl_window:
+        # ONE exchange for both windows (guide §2.4): hash(crawl_id)
+        # satisfies the clustering requirement of the (crawl_id, host)
+        # quota window AND of the downstream per-crawl seq-stamp window (a
+        # hash partitioning on a SUBSET of the window keys clusters them),
+        # so this explicit repartition replaces two back-to-back exchanges
+        # — hash(crawl_id, host), then hash(crawl_id) — with one. Safe on
+        # skew ONLY because this path is gated on a bounded per-crawl
+        # window input (≤ hosts_per_crawl × quota rows per crawl); the
+        # unbounded path below keeps the (crawl_id, host) spread.
+        n_part = int(phase1.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        phase1 = phase1.repartition(n_part, "crawl_id")
     host_w = Window.partitionBy("crawl_id", "host").orderBy(
         F.col("depth").asc(), F.col("priority_score").desc(), F.col("discovery_seq").asc()
     )
@@ -138,15 +159,7 @@ def select_fetch_batch(
     #   test_scale_paths_trace_equality; tests/test_politeness.py plan
     #   assertion).
     budgeted = phase2.join(F.broadcast(budgets), "crawl_id")
-    window_input_bound = (
-        hosts_per_crawl_bound * policy.quota_per_host
-        if hosts_per_crawl_bound is not None
-        else None
-    )
-    if (
-        window_input_bound is not None
-        and window_input_bound <= policy.seq_singlepart_threshold
-    ) or (n_eligible is not None and n_eligible <= policy.seq_singlepart_threshold):
+    if use_crawl_window:
         crawl_w = Window.partitionBy("crawl_id").orderBy(
             F.col("depth").asc(),
             F.col("priority_score").desc(),

@@ -14,13 +14,23 @@ false positives only cost a trip through the exact join. At steady state
 almost every discovered URL is already seen (re-discovered links), so the
 anti-join probe side shrinks to the novelty rate × (1 + fp-rate).
 
-Layout: bucket = pmod(xxhash64(url_norm), n_buckets); one bitmap row per
-bucket (binary column). The k hash probes are computed JVM-side as
-xxhash64(url_norm, seed_k) columns; Python only sets/tests bits on numpy
-arrays, per Arrow batch. Build/merge/probe are all bucket-cogrouped, so no
-single task ever holds more than one bucket's bitmap — this is what makes
-the filter partition-local at 10^10 URLs (bitmaps total bits ≈ 10·|seen|,
-spread across buckets; nothing is ever collected to the driver).
+Layout: bucket = pmod(xxhash64(url_norm), n_buckets); one row per bucket
+holding the bitmap as ``array<long>`` words (little-endian bit order:
+overall bit ``i`` lives at bit ``i % 64`` of word ``i // 64``). The k
+hash probes are ``pmod(xxhash64(url_norm, seed_k), bits_per_bucket)``.
+
+Probe dispatch (guide §2.4/§3.1 — r6): when the WHOLE bloom table fits
+the broadcast budget (``n_buckets · bits_per_bucket / 8`` bytes ≤
+``broadcast_max_bytes``), the probe is a broadcast hash join plus pure
+Column bit tests (``getbit`` on the word array) — zero exchange of the
+candidates and zero Python. The pre-r6 shape shuffled EVERY candidate
+row by bucket into a Python cogroup just to test 4 bits; that cost one
+full exchange plus a JVM→Python→JVM round trip of the whole candidate
+payload per batch. Above the budget (10^10-seen-row blooms are tens of
+GB) the bucket-cogrouped probe runs instead — each task holds exactly
+one bucket's bitmap, nothing is broadcast, which is what keeps the
+filter partition-local at scale. Build and merge stay bucket-local;
+merge is a plain JVM zip_with OR over the word arrays.
 """
 
 from __future__ import annotations
@@ -32,14 +42,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_SCHEMA = "bucket int, bitmap binary"
+BLOOM_SCHEMA = "bucket int, words array<long>"
+
+# bloom tables at or under this many bitmap bytes take the broadcast
+# JVM-probe path in bloom_split; larger ones stay bucket-cogrouped
+BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
-def _hash_cols(df: DataFrame, url_col: str, n_buckets: int, k: int) -> DataFrame:
-    out = df.withColumn("_bucket", F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int"))
-    for i in range(k):
-        out = out.withColumn(f"_h{i}", F.xxhash64(F.col(url_col), F.lit(i)))
-    return out
+def _bucket_col(url_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def _probe_idx(url_col: str, i: int, bits_per_bucket: int):
+    """Bit index of probe ``i`` — floored mod, matching numpy's ``%``."""
+    return F.pmod(F.xxhash64(F.col(url_col), F.lit(i)), F.lit(bits_per_bucket))
 
 
 def build_bloom_delta(
@@ -49,17 +65,29 @@ def build_bloom_delta(
     bits_per_bucket: int = 1 << 20,
     k: int = 4,
 ) -> DataFrame:
-    """(bucket, bitmap) rows for a batch of newly-seen URLs."""
-    hashed = _hash_cols(seen_delta.select(url_col), url_col, n_buckets, k)
+    """(bucket, words) rows for a batch of newly-seen URLs."""
+    assert bits_per_bucket % 64 == 0, "bits_per_bucket must be word-aligned"
+    hashed = seen_delta.select(
+        _bucket_col(url_col, n_buckets).alias("_bucket"),
+        *[
+            F.pmod(F.xxhash64(F.col(url_col), F.lit(i)), F.lit(bits_per_bucket)).alias(f"_h{i}")
+            for i in range(k)
+        ],
+    )
     h_names = [f"_h{i}" for i in range(k)]
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bitmap = np.zeros(bits_per_bucket // 8, dtype=np.uint8)
+        words = np.zeros(bits_per_bucket // 64, dtype=np.uint64)
         for name in h_names:
-            idx = (pdf[name].to_numpy(dtype=np.int64) % bits_per_bucket).astype(np.int64)
-            np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+            idx = pdf[name].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(
+                words, idx // 64, np.left_shift(np.uint64(1), (idx % 64).astype(np.uint64))
+            )
         return pd.DataFrame(
-            {"bucket": [int(pdf["_bucket"].iloc[0])], "bitmap": [bitmap.tobytes()]}
+            {
+                "bucket": [int(pdf["_bucket"].iloc[0])],
+                "words": [words.view(np.int64)],
+            }
         )
 
     return hashed.groupBy("_bucket").applyInPandas(
@@ -68,25 +96,20 @@ def build_bloom_delta(
 
 
 def merge_blooms(a: DataFrame | None, b: DataFrame) -> DataFrame:
-    """OR-merge two bloom tables (bucket-cogrouped, one bitmap per task)."""
+    """OR-merge two bloom tables — pure JVM since r6: a full outer join on
+    bucket (O(n_buckets) rows) + ``zip_with`` bitwise OR over the word
+    arrays. The pre-r6 Python cogroup paid two exchanges and a Python
+    round trip per batch for what is one tiny JVM join."""
     if a is None:
         return b
-
-    def orr(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        maps = list(left["bitmap"]) + list(right["bitmap"])
-        if not maps:
-            return pd.DataFrame({"bucket": [], "bitmap": []})
-        acc = np.frombuffer(maps[0], dtype=np.uint8).copy()
-        for m in maps[1:]:
-            acc |= np.frombuffer(m, dtype=np.uint8)
-        bucket = (left if len(left) else right)["bucket"].iloc[0]
-        return pd.DataFrame({"bucket": [int(bucket)], "bitmap": [acc.tobytes()]})
-
-    return (
-        a.groupBy("bucket")
-        .cogroup(b.groupBy("bucket"))
-        .applyInPandas(lambda key, l, r: orr(l, r), schema=BLOOM_SCHEMA)
+    wa = a.select("bucket", F.col("words").alias("_wa"))
+    wb = b.select("bucket", F.col("words").alias("_wb"))
+    merged = F.coalesce(
+        F.zip_with("_wa", "_wb", lambda x, y: x.bitwiseOR(y)),
+        F.col("_wa"),
+        F.col("_wb"),
     )
+    return wa.join(wb, "bucket", "full").select("bucket", merged.alias("words"))
 
 
 def bloom_split(
@@ -96,13 +119,38 @@ def bloom_split(
     n_buckets: int = 64,
     bits_per_bucket: int = 1 << 20,
     k: int = 4,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``: False = bloom miss = provably
-    novel (skip the exact join); True = needs the anti-join. Implemented as
-    a bucket cogroup so each task holds exactly one bucket's bitmap."""
+    novel (skip the exact join); True = needs the anti-join.
+
+    Small blooms (see module docstring): broadcast join + Column-level
+    ``getbit`` probes — no candidate shuffle, no Python. Large blooms:
+    bucket cogroup, each task holds exactly one bucket's bitmap."""
+    if n_buckets * (bits_per_bucket // 8) <= broadcast_max_bytes:
+        joined = candidates.withColumn(
+            "_bucket", _bucket_col(url_col, n_buckets)
+        ).join(
+            F.broadcast(bloom.select("bucket", F.col("words").alias("_bw"))),
+            F.col("_bucket") == F.col("bucket"),
+            "left",
+        )
+        hit = None
+        for i in range(k):
+            idx = _probe_idx(url_col, i, bits_per_bucket)
+            word = F.get(F.col("_bw"), (idx / F.lit(64)).cast("int"))
+            test = F.getbit(word, F.pmod(idx, F.lit(64)).cast("int")) == 1
+            hit = test if hit is None else (hit & test)
+        maybe = F.col("_bw").isNotNull() & F.coalesce(hit, F.lit(False))
+        return joined.withColumn("maybe_seen", maybe).drop(
+            "bucket", "_bucket", "_bw"
+        )
+
     from pyspark.sql import types as T
 
-    hashed = _hash_cols(candidates, url_col, n_buckets, k)
+    hashed = candidates.withColumn("_bucket", _bucket_col(url_col, n_buckets))
+    for i in range(k):
+        hashed = hashed.withColumn(f"_h{i}", _probe_idx(url_col, i, bits_per_bucket))
     h_names = [f"_h{i}" for i in range(k)]
     out_schema = T.StructType(
         [f for f in hashed.schema.fields if f.name != "_bucket"]
@@ -116,11 +164,13 @@ def bloom_split(
             res = cand.drop(columns=["_bucket"]).copy()
             res["maybe_seen"] = False
             return res
-        bitmap = np.frombuffer(blm["bitmap"].iloc[0], dtype=np.uint8)
+        words = np.asarray(blm["words"].iloc[0], dtype=np.int64).view(np.uint64)
         hit = np.ones(len(cand), dtype=bool)
         for name in h_names:
-            idx = (cand[name].to_numpy(dtype=np.int64) % bits_per_bucket).astype(np.int64)
-            hit &= (bitmap[idx // 8] >> (idx % 8) & 1).astype(bool)
+            idx = cand[name].to_numpy(dtype=np.int64)
+            hit &= (
+                (words[idx // 64] >> (idx % 64).astype(np.uint64)) & np.uint64(1)
+            ).astype(bool)
         res = cand.drop(columns=["_bucket"]).copy()
         res["maybe_seen"] = hit
         return res

@@ -130,12 +130,23 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def bpe_token_counts(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens) exact learned-BPE counts; the corpus is
     explicitly hash-repartitioned before the CPU-bound Python stage so
-    the UDF parallelizes by rows, not by AQE byte-coalesced splits."""
+    the UDF parallelizes by rows, not by AQE byte-coalesced splits.
+
+    ``n_docs_hint`` (an upper bound on the doc count, when the caller
+    knows it) caps the partition count at ~1k docs/task — the same
+    scale-adaptive rule the fetch/canonicalize stages use — so tiny
+    corpora don't pay (shuffle.partitions − needed) empty python tasks;
+    partitioning never affects the per-doc counts."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_docs_hint is not None:
+        n_part = max(1, min(n_part, -(-int(n_docs_hint) // 1024)))
     return (
         docs.repartition(n_part, id_col)
         .select(id_col, bpe_token_count(F.col(text_col)).alias("n_tokens"))

@@ -147,6 +147,16 @@ def minhash_near_dup_pairs(
     banded = minhash_band_buckets(
         docs, id_col, text_col, num_hashes, bands, shingle_n, portable
     )
+    # The banded table is consumed 2-4 times below (bucket sizes + both
+    # self-join sides). Catalyst does NOT share the subtree, so without a
+    # materialization the whole shingle explode + per-shingle hash +
+    # K-min aggregation pipeline — the expensive part — re-runs once per
+    # consumer (guide §3.3: materialize an intermediate to truncate the
+    # plan). A lazy localCheckpoint computes it exactly once: the first
+    # consumer's job materializes the (id, band_id, band_hash) rows
+    # (~bands rows/doc, a few bytes each), every later consumer reads the
+    # cached blocks. Values are unchanged — this is pure job-count.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = (
             banded.groupBy("band_id", "band_hash")
@@ -154,7 +164,9 @@ def minhash_near_dup_pairs(
             .where(F.col("_bn") <= max_bucket)
             .select("band_id", "band_hash")
         )
-        banded = banded.join(sizes, ["band_id", "band_hash"], "left_semi")
+        banded = banded.join(
+            sizes, ["band_id", "band_hash"], "left_semi"
+        ).localCheckpoint(eager=False)  # shared by both self-join sides
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
     b_side = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     return (
@@ -267,6 +279,10 @@ def simhash_near_dup_pairs(
     banded = sig.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "simhash", "b.band_id", "b.key")
+    # both self-join sides consume `banded`; without a materialization the
+    # tokenize + per-token hash + per-bit vote aggregation re-runs twice
+    # (guide §3.3). Lazy localCheckpoint -> computed once, values identical.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
         "band_id", "key",
@@ -416,6 +432,10 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingle_expr)).alias("shingle")
     )
+    # the distinct-shingle table feeds three consumers (sizes + both join
+    # sides); materialize it once instead of re-running the split/slice/
+    # array_distinct/explode pipeline per consumer (guide §3.3)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -216,6 +216,10 @@ def band_candidate_pairs(
     sig = vectors.select(
         F.col(id_col), F.explode(F.array(*band_sigs)).alias("band")
     ).select(id_col, "band.band_id", "band.sig")
+    # both self-join sides consume `sig`; materialize the signature
+    # computation (bands × bits interpreted dot-product folds per vector)
+    # once instead of twice (guide §3.3) — values identical
+    sig = sig.localCheckpoint(eager=False)
     a = sig.select(F.col(id_col).alias("id_a"), "band_id", "sig")
     b_side = sig.select(F.col(id_col).alias("id_b"), "band_id", "sig")
     return (
@@ -345,9 +349,15 @@ def ivf_topk(
             "_cent_id", F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_lvec")
         )
     )
+    # `cent` is consumed by BOTH the corpus assignment and the query
+    # probes; Catalyst re-evaluates the whole seed + Lloyd subtree (a full
+    # corpus×seeds assignment pass each) per consumer — the before-plan
+    # carried the centroid pipeline THREE times. Materialize it once
+    # (n_centroids rows) with a lazy localCheckpoint (guide §3.3); values
+    # are unchanged, so the SQL-oracle hash parity is untouched.
     cent = seed_cent.join(lloyd, "_cent_id", "left").select(
         "_cent_id", F.coalesce(F.col("_lvec"), F.col("_cvec")).alias("_cvec")
-    )
+    ).localCheckpoint(eager=False)
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("_ccos", cos6(F.col(vec_col), F.col("_cvec")))
@@ -403,7 +413,7 @@ def _ivf_topk_arrow(
     Per-partition candidate emission is pre-cut to the local top-k per
     query, so the final exact window sees ≤ partitions · |Q| · k rows."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import Window
 
     from ..functions.hashing import phash60
@@ -411,8 +421,17 @@ def _ivf_topk_arrow(
     spark = corpus.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # The corpus is consumed THREE times (seed pick; Lloyd partials;
+    # assign+score). Without a materialization each consumer re-runs the
+    # corpus derivation AND the repartition shuffle — at 10^5×768 that is
+    # ~300 MB of array payload computed and shuffled per pass. The lazy
+    # localCheckpoint materializes the repartitioned corpus in the seed
+    # collect's job; both Arrow passes then read the cached blocks
+    # (guide §3.3 / §5: cheap lineage cut for a reused intermediate).
+    part = corpus.repartition(n_part, id_col).localCheckpoint(eager=False)
+
     seed_rows = (
-        corpus.select(
+        part.select(
             F.col(id_col).alias("_cent_id"),
             F.col(vec_col).cast("array<double>").alias("_cvec"),
         )
@@ -435,30 +454,40 @@ def _ivf_topk_arrow(
         # round-6 cosine, first-max (= lowest cell id) argmax
         return np.argmax(np.round(_unit(X) @ _unit(C).T, 6), axis=1)
 
-    part = corpus.repartition(n_part, id_col)
+    def _xmat(batch: "pa.RecordBatch") -> np.ndarray:
+        # list<float> column → (rows × dim) float64 with no per-row Python
+        # objects: flatten() re-slices the contiguous values buffer
+        # (guide §4.2 — Arrow list columns are one data buffer + offsets)
+        col = batch.column(batch.schema.get_field_index(vec_col))
+        return (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(len(col), dim)
+        )
 
     # --- pass 1: Lloyd partials (per-partition integer sums per cell)
     def lloyd_partials(batches):
         sums = np.zeros((n_cells, dim), dtype=np.int64)
         counts = np.zeros(n_cells, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = _xmat(b)
             a = _assign(X, seeds)
             q = np.floor(X * 1000.0).astype(np.int64)
             np.add.at(sums, a, q)
             np.add.at(counts, a, 1)
         hit = np.nonzero(counts)[0]
-        yield pd.DataFrame(
-            {
-                "_ci": hit,
-                "_n": counts[hit],
-                "_s": [sums[i].tolist() for i in hit],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(hit.astype(np.int32)),
+                pa.array(counts[hit]),
+                pa.array(list(sums[hit]), type=pa.list_(pa.int64())),
+            ],
+            names=["_ci", "_n", "_s"],
         )
 
-    partials = part.mapInPandas(
+    partials = part.mapInArrow(
         lloyd_partials, schema="_ci int, _n long, _s array<long>"
     ).collect()  # ≤ partitions × n_centroids rows — bounded, documented
     sums = np.zeros((n_cells, dim), dtype=np.int64)
@@ -490,36 +519,48 @@ def _ivf_topk_arrow(
 
     id_field = corpus.schema[id_col].dataType.simpleString()
     qid_field = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"{query_id_col} {qid_field}, {id_col} {id_field}, cos_sim double"
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_pa_schema = to_arrow_schema(_parse_datatype_string(out_ddl))
 
     # --- pass 2: assign to refined centroids + score probed queries
     def assign_score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = _xmat(b)
             a = _assign(X, cent)
             scores = np.round(_unit(X) @ Qu.T, 6)  # (b × |Q|)
             in_probe = probe_mask[:, a].T  # (b × |Q|)
             out_q, out_v, out_c = [], [], []
-            vids = pdf[id_col].to_numpy()
+            vids = (
+                b.column(b.schema.get_field_index(id_col))
+                .to_numpy(zero_copy_only=False)
+            )
             for qi, qid in enumerate(q_ids):
                 rows = np.nonzero(in_probe[:, qi])[0]
                 if not len(rows):
                     continue
-                cand = sorted(
-                    zip(-scores[rows, qi], vids[rows])
-                )[:k]  # local top-k, tie → lowest vec_id
-                for negc, vid in cand:
-                    out_q.append(qid)
-                    out_v.append(vid)
-                    out_c.append(-negc)
-            yield pd.DataFrame(
-                {query_id_col: out_q, id_col: out_v, "cos_sim": out_c}
+                # local top-k, tie → lowest vec_id: lexsort is stable and
+                # keys read last-is-primary, so (-score, vid) ordering ==
+                # the old sorted(zip(-score, vid)) without tuple boxing
+                sc = scores[rows, qi]
+                order = np.lexsort((vids[rows], -sc))[:k]
+                out_q.extend([qid] * len(order))
+                out_v.extend(vids[rows][order].tolist())
+                out_c.extend(sc[order].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=out_pa_schema.types[0]),
+                    pa.array(out_v, type=out_pa_schema.types[1]),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=[query_id_col, id_col, "cos_sim"],
             )
 
-    scored = part.mapInPandas(
-        assign_score,
-        schema=f"{query_id_col} {qid_field}, {id_col} {id_field}, cos_sim double",
-    )
+    scored = part.mapInArrow(assign_score, schema=out_ddl)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

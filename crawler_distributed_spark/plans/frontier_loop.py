@@ -405,9 +405,10 @@ def run_crawl(
             raise ValueError(
                 f"checkpoint {checkpoint_dir} already has state; pass resume=True"
             )
-        frontier, next_seq, (seed_n, seed_h) = init_crawl(
-            spark, seeds, robots_rules, store
-        )
+        with _timed("init_crawl"):
+            frontier, next_seq, (seed_n, seed_h) = init_crawl(
+                spark, seeds, robots_rules, store
+            )
         acc = {
             "trace_rows": 0, "trace_hash": 0,
             "seen_rows": seed_n, "seen_hash": seed_h,
@@ -479,6 +480,21 @@ def run_crawl(
     batch = last + 1
     last_committed = last
     batch_seconds: list = []
+    # one background slot for the per-batch journal write (guide §2.6);
+    # _flush_journal() is the synchronization point ahead of every
+    # manifest commit and every return, so the commit protocol is
+    # unchanged: a journal is always durable before the manifest that
+    # covers it, and anything newer than the last manifest is rolled back
+    from concurrent.futures import ThreadPoolExecutor
+
+    _journal_pool = ThreadPoolExecutor(max_workers=1)
+    _journal_state: dict = {"fut": None}
+
+    def _flush_journal() -> None:
+        fut = _journal_state.get("fut")
+        if fut is not None:
+            _journal_state["fut"] = None
+            fut.result()
     # eligibility for the NEXT batch rides the frontier checkpoint as an
     # Observation (no dedicated count job); None -> bootstrap/jump recount
     pending: tuple | None = None
@@ -538,7 +554,12 @@ def run_crawl(
         # (max_pages rides the budgets broadcast — scheduled already has it)
         # P6: effective strategy = host escalation level ∨ per-URL 403
         # force-proxy carried on the frontier row (retry_middleware.py:33-55)
-        scheduled = scheduled.join(strat_state, ["crawl_id", "host"], "left").withColumn(
+        # strat_state is O(#crawls × hosts-per-crawl) like the budgets dim
+        # (already broadcast by design); an explicit broadcast stops the
+        # planner from SMJ-ing the batch against a stats-less RDD scan
+        scheduled = scheduled.join(
+            F.broadcast(strat_state), ["crawl_id", "host"], "left"
+        ).withColumn(
             "strategy_level",
             F.greatest(
                 F.least(F.coalesce(F.col("fail_batches"), F.lit(0)), F.lit(2)),
@@ -628,6 +649,7 @@ def run_crawl(
 
         # --- retries (Q7/P8: per-status multiplier + per-status retry cap,
         # backoff in batches, bury past the cap — retry_middleware.py:33-55)
+        _plan_t0 = time.time()
         from ..policy import RETRY_POLICY
 
         retryable = F.col("status").isin(_RETRYABLE_LIST)
@@ -744,6 +766,9 @@ def run_crawl(
             .join(F.broadcast(cand_dim), "crawl_id")
         )
 
+        if _TIMING:
+            print(f"      [candidates build] {time.time() - _plan_t0:.2f}s",
+                  flush=True)
         # the seen set, split for the anti-join (storage.read_seen_parts):
         # the bucketed compacted copy scans with NO exchange on its side,
         # deltas ride as a small second anti-join; the periodic compaction
@@ -865,7 +890,7 @@ def run_crawl(
         # the 'rm'/'add' rows over the newest snapshot (the Iceberg MERGE
         # equivalent — at a 10^10-row frontier the per-batch durable cost
         # must not be O(frontier)) and ignores 'lineage' rows.
-        with _timed("journal write"):
+        with _timed("journal build"):
             _ftypes = {f.name: f.dataType for f in frontier.schema.fields}
             # `add` rows = retries + this batch's new admissions, read back
             # from the just-checkpointed frontier's CACHED blocks instead of
@@ -920,13 +945,25 @@ def run_crawl(
                     F.lit("lineage").alias("_op"),
                 )
             )
-            store.write_table(
+            journal_df = (
                 rm_rows.unionByName(add_rows)
                 .withColumn("_b", F.lit(batch).cast("long"))
-                .unionByName(lineage, allowMissingColumns=True),
-                batch,
-                "frontier_delta",
+                .unionByName(lineage, allowMissingColumns=True)
             )
+        # OVERLAP the journal write with the rest of the batch (guide
+        # §2.6: actions are only sequential because the driver calls them
+        # sequentially). The journal reads this batch's CACHED frontier
+        # blocks + the materialized fetched parquet — nothing the
+        # remaining per-batch work (autothrottle/bloom/state writes, the
+        # next batch's fetch) mutates — and durability only requires it
+        # on disk BEFORE the next manifest commit (the commit point): a
+        # torn journal above the last manifest is rolled back on resume
+        # exactly like any other uncommitted write. `_flush_journal()`
+        # joins the in-flight write at every commit/return point below.
+        _flush_journal()
+        _journal_state["fut"] = _journal_pool.submit(
+            store.write_table, journal_df, batch, "frontier_delta"
+        )
 
         if policy.autothrottle:
             # EWMA update from this batch's observed latencies (all
@@ -984,6 +1021,7 @@ def run_crawl(
             store.write_table(strat_state, batch, "strategy")
             if policy.autothrottle:
                 store.write_table(host_lat, batch, "hostlat")
+            _flush_journal()  # the journal must precede its manifest
             store.commit(batch, {"next_seq": next_seq})
             last_committed = batch
             if policy.compact_seen_every and batch % policy.compact_seen_every == 0:
@@ -995,6 +1033,7 @@ def run_crawl(
 
         batch_seconds.append(round(time.time() - _bt0, 2))
         if stop_after_batch is not None and batch >= stop_after_batch:
+            _journal_pool.shutdown(wait=True)
             return CrawlRunResult(
                 store, batch, batch_seconds,
                 policy.max_failed_pages, _default_cap,
@@ -1004,10 +1043,13 @@ def run_crawl(
     # final commit so the terminal state is always durable
     final = batch - 1
     if final > last_committed:
-        store.write_table(frontier, final, "frontier")
-        store.write_table(budget_state, final, "budget")
-        store.write_table(strat_state, final, "strategy")
-        store.commit(final, {"next_seq": next_seq})
+        with _timed("final commit"):
+            store.write_table(frontier, final, "frontier")
+            store.write_table(budget_state, final, "budget")
+            store.write_table(strat_state, final, "strategy")
+            _flush_journal()
+            store.commit(final, {"next_seq": next_seq})
+    _journal_pool.shutdown(wait=True)
     return CrawlRunResult(
         store, final, batch_seconds,
         policy.max_failed_pages, _default_cap,

@@ -56,6 +56,15 @@ def get_spark(
         # 197.3s, bit-identical output hashes).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
+        # one BLAS thread per Python worker (guide §4): every core already
+        # runs one worker, so library-level threading only oversubscribes —
+        # measured on the dim-768 IVF matmul kernel: 32 workers × default
+        # OpenBLAS thread pools took the first run from ~15 s to ~39 s
+        # (thread-creation storm + contention). Same reasoning holds on a
+        # cluster at executor cores = task slots.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     # $SPARK_GRAFT_LOCAL_DIR (e.g. /dev/shm/spark-local): where shuffle
     # blocks spill. On a real cluster every executor has its own local
@@ -78,7 +87,32 @@ def get_spark(
     _quiet_windowexec(spark)
     if master and master.startswith("spark://"):
         spark.sparkContext.addPyFile(package_zip())
+    _prewarm_python_workers(spark, cpus)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Python UDF workers once at session build (guide §4: the
+    first Arrow stage otherwise pays ~cores × (fork + import pandas)
+    inside whatever query happens to hit Python first — with worker
+    reuse on, that cost is purely a cold-start artifact). One trivial
+    mapInPandas job over `cpus` single-row partitions touches every
+    worker slot; runs once per session (getOrCreate may be called many
+    times), opt out with SPARK_GRAFT_NO_PREWARM=1."""
+    if os.environ.get("SPARK_GRAFT_NO_PREWARM") == "1":
+        return
+    if getattr(spark, "_graft_prewarmed", False):
+        return
+    spark._graft_prewarmed = True
+    try:
+        spark.sparkContext.setJobDescription("session: prewarm python workers")
+        spark.range(0, cpus, 1, cpus).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # cosmetic-only: a failed prewarm must never block the session
+    finally:
+        spark.sparkContext.setJobDescription(None)
 
 
 def _quiet_windowexec(spark: SparkSession) -> None:
