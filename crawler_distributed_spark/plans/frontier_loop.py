@@ -292,6 +292,7 @@ def init_crawl(
     seeds: list[dict],
     robots_rules: DataFrame,
     store: BatchStore,
+    seq_singlepart_threshold: int = 20_000,
 ) -> tuple[DataFrame, int]:
     """Seed admission, committed as batch=-1 (reference: start_urls are
     enqueued unfiltered, domain_spider.py:219-265; robots gating still
@@ -337,12 +338,37 @@ def init_crawl(
     sm = seed_obs.get
     admitted_r = store.read_table(spark, -1, "admitted")
 
-    queued, n_queued = with_sequence(
-        admitted_r.where("robots_ok"),
-        ["parent_seq", "link_idx"],
-        start=0,
-    )
-    store.write_table(_finish_frontier_rows(queued), -1, "frontier")
+    robots_ok_rows = admitted_r.where("robots_ok")
+    if len(seeds) <= seq_singlepart_threshold:
+        # small seed set: one global window stamps seqs inside the
+        # frontier-write job itself (same values as with_sequence — the
+        # identical (parent_seq, link_idx) total order, 0-based) instead
+        # of paying the range-sample + count + stamp jobs of the
+        # two-phase path; the count rides the write as an Observation
+        from pyspark.sql import Window as _WS
+
+        queued = robots_ok_rows.withColumn(
+            "discovery_seq",
+            (
+                F.row_number().over(_WS.orderBy("parent_seq", "link_idx")) - 1
+            ).cast("long"),
+        )
+        fr_obs = Observation("frontier-init")
+        store.write_table(
+            _finish_frontier_rows(queued).observe(
+                fr_obs, F.count(F.lit(1)).alias("n")
+            ),
+            -1,
+            "frontier",
+        )
+        n_queued = int(fr_obs.get["n"] or 0)
+    else:
+        queued, n_queued = with_sequence(
+            robots_ok_rows,
+            ["parent_seq", "link_idx"],
+            start=0,
+        )
+        store.write_table(_finish_frontier_rows(queued), -1, "frontier")
     frontier = store.read_table(spark, -1, "frontier")
     budget = spark.createDataFrame(
         [
@@ -407,7 +433,8 @@ def run_crawl(
             )
         with _timed("init_crawl"):
             frontier, next_seq, (seed_n, seed_h) = init_crawl(
-                spark, seeds, robots_rules, store
+                spark, seeds, robots_rules, store,
+                seq_singlepart_threshold=policy.seq_singlepart_threshold,
             )
         acc = {
             "trace_rows": 0, "trace_hash": 0,
@@ -480,15 +507,30 @@ def run_crawl(
     batch = last + 1
     last_committed = last
     batch_seconds: list = []
-    # one background slot for the per-batch journal write (guide §2.6);
-    # _flush_journal() is the synchronization point ahead of every
-    # manifest commit and every return, so the commit protocol is
-    # unchanged: a journal is always durable before the manifest that
-    # covers it, and anything newer than the last manifest is rolled back
+    # Background pool overlapping independent per-batch jobs with the
+    # critical path (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially): the journal write plus the small
+    # state-table checkpoints (budget/strategy/bloom). Under AQE a "lazy"
+    # localCheckpoint materializes its shuffle stages eagerly, so each of
+    # these otherwise blocks the driver ~1 s per batch back-to-back.
+    # Every future is resolved (`_resolve`) strictly before its first
+    # consumer, so ordering semantics are unchanged; the journal future
+    # is additionally flushed ahead of every manifest commit, keeping the
+    # commit protocol intact (a journal is always durable before the
+    # manifest that covers it; anything newer than the last manifest is
+    # rolled back on resume).
     from concurrent.futures import ThreadPoolExecutor
 
-    _journal_pool = ThreadPoolExecutor(max_workers=1)
+    _journal_pool = ThreadPoolExecutor(max_workers=4)
     _journal_state: dict = {"fut": None}
+    _pend: dict = {}
+
+    def _submit_ck(name: str, df: DataFrame) -> None:
+        _pend[name] = _journal_pool.submit(df.localCheckpoint, False)
+
+    def _resolve(name: str, current):
+        fut = _pend.pop(name, None)
+        return fut.result() if fut is not None else current
 
     def _flush_journal() -> None:
         fut = _journal_state.get("fut")
@@ -557,6 +599,7 @@ def run_crawl(
         # strat_state is O(#crawls × hosts-per-crawl) like the budgets dim
         # (already broadcast by design); an explicit broadcast stops the
         # planner from SMJ-ing the batch against a stats-less RDD scan
+        strat_state = _resolve("strat", strat_state)
         scheduled = scheduled.join(
             F.broadcast(strat_state), ["crawl_id", "host"], "left"
         ).withColumn(
@@ -627,7 +670,8 @@ def run_crawl(
                     "max_batches",
                 )
             )
-            budget_state = _maybe_ck(budget_state, batch)
+            # checkpoint in the background; resolved before active_df below
+            _submit_ck("budget", budget_state)
         # P6: hosts whose every fetch this batch failed escalate one level
         host_fail = fetched.groupBy("crawl_id", "host").agg(
             (F.max(F.when(F.col("status") < 400, 1).otherwise(0)) == 0).alias("_allfail")
@@ -645,7 +689,9 @@ def run_crawl(
                 .alias("fail_batches"),
             )
         )
-        strat_state = _maybe_ck(strat_state, batch)
+        # checkpoint in the background; resolved before next batch's
+        # scheduled join (and before any durable write this batch)
+        _submit_ck("strat", strat_state)
 
         # --- retries (Q7/P8: per-status multiplier + per-status retry cap,
         # backoff in batches, bury past the cap — retry_middleware.py:33-55)
@@ -755,6 +801,7 @@ def run_crawl(
         # isin() literal list would break the plan at 10^4+ crawls; two
         # separate broadcasts were two O(#crawls) per-batch build jobs —
         # the inner join against the pre-filtered dim is equivalent)
+        budget_state = _resolve("budget", budget_state)
         active_df = budget_state.where(_active_pred(batch)).select("crawl_id")
         cand_dim = crawls.select(
             "crawl_id", "allowed_host_1", "allowed_host_2"
@@ -782,6 +829,7 @@ def run_crawl(
         # than the anti-join they shave, so thin batches skip it. The
         # admitted row count rides the write as an Observation (no extra
         # job) and gates the bloom delta build below.
+        bloom = _resolve("bloom", bloom)
         use_split = bloom is not None and n_elig >= policy.bloom_split_min
         admitted = admit(
             candidates,
@@ -1007,7 +1055,10 @@ def run_crawl(
                 delta = build_bloom_delta(
                     admitted_r.select("url_norm"), n_buckets=policy.bloom_buckets
                 )
-                bloom = _maybe_ck(merge_blooms(bloom, delta), batch)
+                bloom = merge_blooms(bloom, delta)
+                # checkpoint in the background; resolved before the next
+                # batch's admission consumes the bloom
+                _submit_ck("bloom", bloom)
 
         durable = (
             policy.checkpoint_every <= 1
@@ -1015,6 +1066,8 @@ def run_crawl(
             or (stop_after_batch is not None and batch >= stop_after_batch)
         )
         if durable:
+            budget_state = _resolve("budget", budget_state)
+            strat_state = _resolve("strat", strat_state)
             if batch % policy.frontier_snapshot_every == 0:
                 store.write_table(frontier, batch, "frontier")
             store.write_table(budget_state, batch, "budget")
@@ -1044,6 +1097,8 @@ def run_crawl(
     final = batch - 1
     if final > last_committed:
         with _timed("final commit"):
+            budget_state = _resolve("budget", budget_state)
+            strat_state = _resolve("strat", strat_state)
             store.write_table(frontier, final, "frontier")
             store.write_table(budget_state, final, "budget")
             store.write_table(strat_state, final, "strategy")
