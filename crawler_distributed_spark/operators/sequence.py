@@ -66,22 +66,32 @@ def with_sequence(
     stamped plan is dropped, instead of accumulating in the CacheManager
     across thousands of batches.
     """
+    from pyspark.sql import functions as F
+
     sorted_df = df.orderBy(*order_cols).localCheckpoint(eager=False)
 
-    def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key, n = None, 0
-        for pdf in batches:
-            if len(pdf) and key is None:
-                key = _key_of(pdf, order_cols)
-            n += len(pdf)
-        if key is not None:
-            yield pd.DataFrame({"first_key": [key], "n": [n]})
-
-    counts = sorted_df.mapInPandas(count_parts, schema="first_key string, n long").collect()
+    # Counting pass in the JVM (r6, guide §4): per partition, the row
+    # count and the MINIMUM order key — which IS the partition's first
+    # key, because the range sort leaves each partition ascending. The
+    # old pass shipped every row through an Arrow mapInPandas just to
+    # read the first row and count; this aggregation is map-side and
+    # moves one row per partition. The key is serialized to the SAME
+    # json the pandas stamp pass produces (_key_of), so the offsets
+    # lookup is unchanged.
+    counts = (
+        sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(*order_cols)).alias("k"),
+        )
+        .collect()
+    )
     # order partitions by their first key (tuples compare elementwise; the
     # range sort guarantees partition key-ranges are disjoint)
-    parts = sorted(((json.loads(r["first_key"]), r["first_key"], r["n"]) for r in counts),
-                   key=lambda t: t[0])
+    parts = sorted(
+        ((list(r["k"]), json.dumps(list(r["k"])), r["n"]) for r in counts),
+        key=lambda t: t[0],
+    )
     offsets: dict[str, int] = {}
     acc = 0
     for _, raw_key, n in parts:

@@ -196,17 +196,41 @@ def simhash_signatures(
     exploded = docs.select(id_col, F.explode(toks).alias("tok"))
     h = phash60(F.col("tok")) if portable else F.xxhash64("tok")
     exploded = exploded.withColumn("h", h)
-    # vote per bit: shiftright(h, i) & 1 -> {0,1} -> {-1,+1}
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    per_doc = exploded.groupBy(id_col).agg(*votes)
+    # Lane-packed bit votes (r6, guide §1.2 per-task work): the naive form
+    # ran ``bits`` separate sum aggregates (one per signature bit), which
+    # at bits=60 generates an enormous aggregation class (codegen compile
+    # alone cost seconds) and ``bits`` aggregation buffers per group.
+    # Instead, pack 3 per-bit set-counts into 21-bit lanes of one long:
+    #   agg_j = Σ_tokens Σ_{k<3} ((h >> (3j+k)) & 1) << (21k)
+    # so ceil(bits/3) aggregates carry all counts. Lanes cannot interact
+    # while every per-doc token count stays < 2^21 (~2M tokens/doc — far
+    # beyond any real document). The signature bit is then
+    # 2·count_i − n_tokens > 0, which equals the old sum(bit·2−1) > 0
+    # vote EXACTLY (count_i = set bits, n − count_i = clear bits).
+    lanes = 3
+    lane_w = 21
+    mask = (1 << lane_w) - 1
+    aggs = []
+    for j in range(-(-bits // lanes)):
+        term = None
+        for k in range(lanes):
+            i = j * lanes + k
+            if i >= bits:
+                break
+            t = F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)), k * lane_w
+            )
+            term = t if term is None else (term + t)
+        aggs.append(F.sum(term).alias(f"c{j}"))
+    aggs.append(F.count(F.lit(1)).alias("_ntok"))
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        j, k = divmod(i, lanes)
+        cnt = F.shiftright(F.col(f"c{j}"), k * lane_w).bitwiseAND(F.lit(mask))
+        bit = F.when(cnt * 2 > F.col("_ntok"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
         sig = term if sig is None else (sig + term)
     return per_doc.select(id_col, sig.alias("simhash"))

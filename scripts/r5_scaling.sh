@@ -4,6 +4,7 @@
 # to cancel credit drift; shuffle local-dir + checkpoint on tmpfs.
 set -u
 cd /root/repo
+mkdir -p /dev/shm/ck /dev/shm/spark-local
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
 export TMPDIR=/dev/shm/ck
 FLAGS="--hosts 30000 --pages-base 120 --max-pages 96 --quota 96 --budget-scheduled"
