@@ -107,3 +107,27 @@ def test_bucketed_seen_antijoin_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Bucketed: true" in plan, plan
     assert no_exchange_above(plan, "Scan parquet spark_catalog.default.seen_c_"), plan
+
+
+def test_broadcast_and_cogroup_probes_agree(spark):
+    """r6: bloom_split dispatches by total bloom size — small blooms take
+    a broadcast join + Column getbit probe (no candidate shuffle, no
+    Python), large ones the bucket-cogrouped Python probe. Both paths
+    must tag every candidate identically (same build, same bit layout)."""
+    seen = _urls(spark, "seen", 400)
+    cand = _urls(spark, "seen", 400).unionByName(_urls(spark, "fresh", 400))
+    bloom = build_bloom_delta(seen, n_buckets=N_BUCKETS, bits_per_bucket=BITS)
+
+    def tags(broadcast_max):
+        out = bloom_split(
+            cand, bloom, n_buckets=N_BUCKETS, bits_per_bucket=BITS,
+            broadcast_max_bytes=broadcast_max,
+        )
+        return sorted((r.url_norm, r.maybe_seen) for r in out.collect())
+
+    via_broadcast = tags(1 << 30)   # whole bloom under the budget
+    via_cogroup = tags(0)           # force the at-scale cogroup path
+    assert via_broadcast == via_cogroup
+    # and the broadcast path preserves bloom's no-false-negative contract
+    seen_urls = {r.url_norm for r in seen.collect()}
+    assert all(t for (u, t) in via_broadcast if u in seen_urls)
